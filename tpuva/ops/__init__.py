@@ -1,0 +1,14 @@
+from tpuva.ops.filters import (  # noqa: F401
+    dilate,
+    erode,
+    gaussian_blur,
+    gaussian_kernel_1d,
+    median_blur,
+    morph_close,
+    morph_open,
+    otsu_threshold,
+    structuring_element,
+    threshold,
+)
+from tpuva.ops.background import background_update  # noqa: F401
+from tpuva.ops.label import connected_components_with_stats  # noqa: F401

@@ -1,0 +1,265 @@
+"""Batched image filters with OpenCV-matching semantics (SURVEY.md §2.2, §8).
+
+All ops take ``(..., H, W)`` arrays (any leading batch dims) and are pure,
+jit-able, vmap-able. They replace the per-frame cv2 C++ calls of the
+reference's hot loop (reference: video/filters.py — FilterBlur etc.) with
+whole-batch XLA programs.
+
+Pinned semantics, locked by golden tests against local cv2 5.0.0:
+- Gaussian: separable; sigma<=0 selects OpenCV's hardcoded binomial kernels
+  for ksize<=7 and the 0.3*((k-1)*0.5-1)+0.8 formula above; border
+  REFLECT_101 (numpy/jnp pad mode 'reflect'); row (W) pass first, then
+  column (H), as cv2.sepFilter2D does.
+- Median: exact k x k selection, border REPLICATE ('edge').
+- Morphology: min/max over the structuring element; border acts as the
+  identity element (+inf for erode, -inf for dilate) so border pixels never
+  shrink the image; MORPH_RECT via lax.reduce_window, MORPH_ELLIPSE via
+  shifted-stack reduction over cv2's exact ellipse rasterization.
+- threshold: strict ``src > thresh`` (cv2 THRESH_BINARY).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# OpenCV's fixed kernels used when sigma <= 0 (verified locally against cv2
+# 5.0.0, SURVEY.md §8 + this session): binomial tab for ksize <= 7, plus the
+# bit-exact 8-bit fixed-point table {4,13,30,51,60}/256 for ksize == 9.
+# ksize >= 11 falls through to the 0.3*((k-1)*0.5-1)+0.8 sigma formula.
+_SMALL_GAUSSIAN = {
+    1: [1.0],
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+    9: [x / 256 for x in (4.0, 13.0, 30.0, 51.0, 60.0, 51.0, 30.0, 13.0, 4.0)],
+}
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """Matches cv2.getGaussianKernel(ksize, sigma) for odd ksize."""
+    assert ksize % 2 == 1 and ksize >= 1
+    if sigma <= 0 and ksize in _SMALL_GAUSSIAN:
+        return np.asarray(_SMALL_GAUSSIAN[ksize], np.float32)
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _conv_axis(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+    """1-D correlation along `axis` with REFLECT_101 padding.
+
+    Symmetric-pair summation order mirrors cv2's symmetric-kernel row filter
+    (sum of k[i]*(left+right) then + k0*center) to keep float results as
+    close to cv2 as float associativity allows.
+    """
+    r = len(kernel) // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(x, pad, mode="reflect")
+
+    def sl(off):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(off, off + x.shape[axis])
+        return xp[tuple(idx)]
+
+    out = sl(r) * kernel[r]
+    for i in range(1, r + 1):
+        out = out + kernel[r - i] * (sl(r - i) + sl(r + i))
+    return out
+
+
+def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:
+    """cv2.GaussianBlur(x, (ksize, ksize), sigma) on float32 input.
+
+    x: (..., H, W) float32. Row (W) pass first, then column (H).
+    """
+    k = gaussian_kernel_1d(ksize, sigma)
+    if ksize == 1:
+        return x
+    x = _conv_axis(x, k, axis=x.ndim - 1)
+    x = _conv_axis(x, k, axis=x.ndim - 2)
+    return x
+
+
+def median_blur(x: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """cv2.medianBlur semantics: k x k median, BORDER_REPLICATE.
+
+    Exact selection — bit-identical to cv2 on identical inputs for any
+    dtype. k=3 uses a 9-element sorting network (min/max ops only, VPU
+    friendly); larger k sorts a stacked window axis.
+    """
+    assert ksize % 2 == 1 and ksize >= 1
+    if ksize == 1:
+        return x
+    r = ksize // 2
+    pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)]
+    xp = jnp.pad(x, pad, mode="edge")
+    H, W = x.shape[-2], x.shape[-1]
+
+    def window(dy, dx):
+        idx = [slice(None)] * (x.ndim - 2) + [
+            slice(dy, dy + H),
+            slice(dx, dx + W),
+        ]
+        return xp[tuple(idx)]
+
+    if ksize == 3:
+        p = [window(dy, dx) for dy in range(3) for dx in range(3)]
+        return _median9(p)
+    stack = jnp.stack(
+        [window(dy, dx) for dy in range(ksize) for dx in range(ksize)], axis=0
+    )
+    return jnp.sort(stack, axis=0)[(ksize * ksize) // 2]
+
+
+def _median9(p):
+    """Classic 19-op median-of-9 exchange network (Paeth)."""
+
+    def mn(a, b):
+        return jnp.minimum(a, b)
+
+    def mx(a, b):
+        return jnp.maximum(a, b)
+
+    def srt(i, j):
+        a, b = p[i], p[j]
+        p[i], p[j] = mn(a, b), mx(a, b)
+
+    for i, j in [
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ]:
+        srt(i, j)
+    return p[4]
+
+
+def threshold(x: jnp.ndarray, thresh: float, maxval: float = 255.0) -> jnp.ndarray:
+    """cv2.THRESH_BINARY: maxval where x > thresh (strict), else 0.
+
+    Returns uint8."""
+    return jnp.where(x > thresh, jnp.uint8(int(maxval)), jnp.uint8(0))
+
+
+def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
+    """Otsu threshold of a uint8 image (cv2.THRESH_OTSU semantics):
+    256-bin histogram, maximize inter-class variance; on ties cv2 takes the
+    lowest threshold. Returns the scalar threshold (float32).
+
+    x: (..., H, W) uint8; leading dims are reduced per-image via vmap by the
+    caller if desired — this function reduces over the trailing two dims.
+    """
+    flat = x.reshape(x.shape[:-2] + (-1,)).astype(jnp.int32)
+    nbins = 256
+    hist = jax.vmap(lambda v: jnp.bincount(v, length=nbins))(
+        flat.reshape(-1, flat.shape[-1])
+    ).reshape(x.shape[:-2] + (nbins,)).astype(jnp.float32)
+    total = hist.sum(-1, keepdims=True)
+    bins = jnp.arange(nbins, dtype=jnp.float32)
+    w0 = jnp.cumsum(hist, -1)
+    sum0 = jnp.cumsum(hist * bins, -1)
+    sum_all = sum0[..., -1:]
+    w1 = total - w0
+    mu0 = sum0 / jnp.maximum(w0, 1.0)
+    mu1 = (sum_all - sum0) / jnp.maximum(w1, 1.0)
+    var_between = w0 * w1 * (mu0 - mu1) ** 2
+    valid = (w0 > 0) & (w1 > 0)
+    var_between = jnp.where(valid, var_between, -1.0)
+    return jnp.argmax(var_between, axis=-1).astype(jnp.float32)
+
+
+# ----------------------------------------------------------------- morphology
+@functools.lru_cache(maxsize=64)
+def structuring_element(shape: str, ksize: int) -> np.ndarray:
+    """cv2.getStructuringElement(MORPH_RECT/MORPH_ELLIPSE, (k, k)) as bool.
+
+    The ellipse uses OpenCV's exact rasterization (verified §8: (5,5) has
+    its middle 3 rows full, not a naive circle): row half-width from the
+    ellipse equation evaluated at the row's integer dy with inv_r2 rounding.
+    """
+    if shape == "rect":
+        return np.ones((ksize, ksize), bool)
+    if shape != "ellipse":
+        raise ValueError(f"unknown SE shape {shape!r}")
+    # OpenCV ellipse rasterization (modules/imgproc/src/morph.cpp style)
+    r = c = ksize // 2
+    inv_r2 = 1.0 / (r * r) if r > 0 else 0.0
+    se = np.zeros((ksize, ksize), bool)
+    for i in range(ksize):
+        j1, j2 = 0, 0
+        dy = i - r
+        if abs(dy) <= r:
+            if r == 0:
+                dx = c
+            else:
+                dx = int(round(c * np.sqrt(max(0.0, (r * r - dy * dy)) * inv_r2)))
+            j1 = max(c - dx, 0)
+            j2 = min(c + dx + 1, ksize)
+            se[i, j1:j2] = True
+    return se
+
+
+def _morph(x: jnp.ndarray, se: np.ndarray, is_erode: bool) -> jnp.ndarray:
+    kh, kw = se.shape
+    rh, rw = kh // 2, kw // 2
+    dtype = x.dtype
+    if jnp.issubdtype(dtype, jnp.integer):
+        ident = jnp.iinfo(dtype).max if is_erode else jnp.iinfo(dtype).min
+    else:
+        ident = jnp.inf if is_erode else -jnp.inf
+    if se.all():  # MORPH_RECT: reduce_window is the fast path
+        ndim = x.ndim
+        wdims = (1,) * (ndim - 2) + (kh, kw)
+        strides = (1,) * ndim
+        padcfg = [(0, 0)] * (ndim - 2) + [(rh, rh), (rw, rw)]
+        op = lax.min if is_erode else lax.max
+        return lax.reduce_window(
+            x, jnp.array(ident, dtype), op, wdims, strides, padcfg
+        )
+    # arbitrary SE: reduction over shifted views
+    pad = [(0, 0)] * (x.ndim - 2) + [(rh, rh), (rw, rw)]
+    xp = jnp.pad(x, pad, mode="constant", constant_values=ident)
+    H, W = x.shape[-2], x.shape[-1]
+    out = None
+    red = jnp.minimum if is_erode else jnp.maximum
+    for dy in range(kh):
+        for dx in range(kw):
+            if not se[dy, dx]:
+                continue
+            idx = [slice(None)] * (x.ndim - 2) + [
+                slice(dy, dy + H),
+                slice(dx, dx + W),
+            ]
+            v = xp[tuple(idx)]
+            out = v if out is None else red(out, v)
+    return out
+
+
+def erode(x: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    for _ in range(iterations):
+        x = _morph(x, se, is_erode=True)
+    return x
+
+
+def dilate(x: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """cv2.dilate reflects the SE about the anchor; all SEs produced by
+    structuring_element are symmetric so the reflection is a no-op."""
+    for _ in range(iterations):
+        x = _morph(x, se, is_erode=False)
+    return x
+
+
+def morph_open(x: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """cv2.morphologyEx(..., MORPH_OPEN): erode x iterations, then dilate."""
+    return dilate(erode(x, se, iterations), se, iterations)
+
+
+def morph_close(x: jnp.ndarray, se: np.ndarray, iterations: int = 1) -> jnp.ndarray:
+    return erode(dilate(x, se, iterations), se, iterations)
