@@ -195,7 +195,9 @@ def test_extract_detections_matches_refimpl():
     clip, _, _ = moving_disk_clip(h=48, w=64, frames=4, radius=6)
     masks = (clip > 100).astype(np.uint8) * 255
     stats = ops.connected_components_with_stats(jnp.asarray(masks), max_components=16)
-    dets, n_det, valid = ops.label.extract_detections(stats, min_area=20, max_blobs=4)
+    dets, n_det, valid, det_sums = ops.label.extract_detections(
+        stats, min_area=20, max_blobs=4
+    )
     for t in range(4):
         ref_dets, _ = segment_frame(masks[t], 20, 4)
         assert int(n_det[t]) == len(ref_dets)

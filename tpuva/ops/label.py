@@ -208,8 +208,10 @@ def connected_components_with_stats(
 
     def per_frame(d):
         area = jnp.bincount(d, length=C + 1).astype(jnp.int32)
-        sx = jnp.bincount(d, weights=cols.astype(jnp.float32), length=C + 1)
-        sy = jnp.bincount(d, weights=rows.astype(jnp.float32), length=C + 1)
+        # integer coordinate sums: exact, so the final centroid division can
+        # be done in float64 on host for bit-identical cv2/refimpl output
+        sx = jax.ops.segment_sum(cols, d, num_segments=C + 1).astype(jnp.int32)
+        sy = jax.ops.segment_sum(rows, d, num_segments=C + 1).astype(jnp.int32)
         xmin = jax.ops.segment_min(cols, d, num_segments=C + 1)
         xmax = jax.ops.segment_max(cols, d, num_segments=C + 1)
         ymin = jax.ops.segment_min(rows, d, num_segments=C + 1)
@@ -218,6 +220,9 @@ def connected_components_with_stats(
         safe_area = jnp.maximum(area, 1).astype(jnp.float32)
         cx = jnp.where(present, sx / safe_area, 0.0).astype(jnp.float32)
         cy = jnp.where(present, sy / safe_area, 0.0).astype(jnp.float32)
+        csum = jnp.where(
+            present[:, None], jnp.stack([sx, sy], axis=-1), 0
+        ).astype(jnp.int32)
         bbox = jnp.where(
             present[:, None],
             jnp.stack(
@@ -225,15 +230,16 @@ def connected_components_with_stats(
             ),
             0,
         ).astype(jnp.int32)
-        return area, bbox, jnp.stack([cx, cy], axis=-1)
+        return area, bbox, jnp.stack([cx, cy], axis=-1), csum
 
-    area, bbox, centroid = jax.vmap(per_frame)(flat)
+    area, bbox, centroid, csum = jax.vmap(per_frame)(flat)
     out = {
         "labels": dense,
         "count": count,
         "area": area,
         "bbox": bbox,
         "centroid": centroid,
+        "centroid_sum": csum,
     }
     if squeeze:
         out = {k: v[0] for k, v in out.items()}
@@ -248,10 +254,13 @@ def extract_detections(stats: dict, min_area: int, max_blobs: int = 8):
 
     stats: batched output of connected_components_with_stats.
     Returns (dets (N, max_blobs, 3) float32 of (x, y, area), n_det (N,)
-    int32, valid (N, max_blobs) bool).
+    int32, valid (N, max_blobs) bool, det_sums (N, max_blobs, 2) int32 of
+    exact integer coordinate sums (sx, sy) for host-side float64 centroid
+    division — bit-identical to cv2's m10/m00, m01/m00).
     """
     area = stats["area"][:, 1:]  # drop background row
     cent = stats["centroid"][:, 1:]
+    csum = stats["centroid_sum"][:, 1:]
     count = stats["count"]
     N, C = area.shape
     comp_idx = jnp.arange(C, dtype=jnp.int32)
@@ -267,7 +276,13 @@ def extract_detections(stats: dict, min_area: int, max_blobs: int = 8):
             pay, mode="drop"
         )
 
+    def scatter_i(slots, pay):
+        return jnp.zeros((max_blobs, 2), jnp.int32).at[slots].set(
+            pay, mode="drop"
+        )
+
     dets = jax.vmap(scatter)(slot, payload)
+    det_sums = jax.vmap(scatter_i)(slot, csum)
     n_det = jnp.minimum(rank[:, -1], max_blobs) if C else jnp.zeros(N, jnp.int32)
     det_valid = jnp.arange(max_blobs)[None, :] < n_det[:, None]
-    return dets, n_det, det_valid
+    return dets, n_det, det_valid, det_sums
