@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Full-pipeline throughput benchmark (the primary metric, BASELINE.json:2).
+
+Measures frames/sec/chip at 1080p for the complete TPU pipeline
+(blur -> rolling background -> threshold -> morphology -> CCL+stats ->
+Hungarian tracking, the config-3 shape of BASELINE.json:9) and the same
+pipeline on the reference-equivalent NumPy/OpenCV CPU path (refimpl — the
+baseline denominator, BASELINE.json:5,7).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps_per_chip, "unit": "frames/sec/chip",
+   "vs_baseline": speedup_vs_cpu}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_config():
+    from tpuva.graph.config import (
+        BackgroundConfig,
+        BlurConfig,
+        MorphConfig,
+        PipelineConfig,
+        SegmentConfig,
+        TrackConfig,
+    )
+
+    return PipelineConfig(
+        background=BackgroundConfig(alpha=0.02),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        morph_close=MorphConfig(ksize=3, shape="ellipse"),
+        segment=SegmentConfig(threshold=35.0, min_area=50, max_blobs=8),
+        track=TrackConfig(
+            max_dist=80.0, death_patience=5, max_tracks=16, assigner="hungarian"
+        ),
+        batch=32,
+    )
+
+
+def make_clip(h, w, frames):
+    from refimpl.synthetic import multi_blob_clip
+
+    clip, _, _, plate = multi_blob_clip(
+        h=h, w=w, frames=frames, n_blobs=6, radius=16, births_deaths=False,
+        noise_sigma=2.0,
+    )
+    return clip, plate
+
+
+def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=64):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import init_carry, process_batch
+
+    T, H, W = clip.shape
+    N = cfg.batch
+    batches = [
+        jnp.asarray(clip[i : i + N])
+        for i in range(0, T - (T % N), N)
+    ]
+    carry = init_carry(cfg, H, W, plate)
+    # warm-up: compile + first batches
+    for b in batches[:warmup_batches]:
+        carry, out = process_batch(
+            cfg, carry, b, parallel_bg=True, max_components=max_components
+        )
+    jax.block_until_ready(out["rows"])
+    t0 = time.perf_counter()
+    n_frames = 0
+    for b in batches[warmup_batches:]:
+        carry, out = process_batch(
+            cfg, carry, b, parallel_bg=True, max_components=max_components
+        )
+        n_frames += b.shape[0]
+    jax.block_until_ready(out["rows"])
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+def bench_cpu(clip, plate, cfg, n_frames=16):
+    from refimpl.pipeline import run_pipeline
+
+    sub = clip[:n_frames]
+    t0 = time.perf_counter()
+    run_pipeline(sub, cfg, background0=plate)
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="short run")
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--cpu-frames", type=int, default=None)
+    args = ap.parse_args()
+
+    frames = args.frames or (96 if args.quick else 256)
+    cpu_frames = args.cpu_frames or (8 if args.quick else 24)
+
+    cfg = build_config()
+    clip, plate = make_clip(args.height, args.width, frames)
+
+    fps_tpu = bench_tpu(clip, plate, cfg)
+    fps_cpu = bench_cpu(clip, plate, cfg, cpu_frames)
+
+    result = {
+        "metric": f"full-pipeline throughput @{args.height}p",
+        "value": round(fps_tpu, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps_tpu / fps_cpu, 2),
+        "baseline_cpu_fps": round(fps_cpu, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,7 +134,9 @@ def process_batch(
     if cfg.morph_close is not None:
         se = structuring_element(cfg.morph_close.shape, cfg.morph_close.ksize)
         mask = morph_close(mask, se, cfg.morph_close.iterations)
-    stats = connected_components_with_stats(mask, max_components=max_components)
+    stats = connected_components_with_stats(
+        mask, max_components=max_components, compute_bbox=False
+    )
     dets, n_det, det_valid, det_sums = extract_detections(
         stats, cfg.segment.min_area, cfg.segment.max_blobs
     )

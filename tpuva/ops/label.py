@@ -87,13 +87,60 @@ def _scan_key(H: int, W: int, connectivity: int):
     return kmap, inv, S  # numpy: safe to close over inside any jit trace
 
 
+def _shifted(x: jnp.ndarray, d: int, axis: int, fill, reverse: bool):
+    """x shifted so element i reads x[i-d] (forward) or x[i+d] (reverse),
+    with constant fill at the boundary. Contiguous pad+slice only — lowers
+    to cheap TPU data movement (unlike associative_scan's odd/even
+    decimation, which strides the minor dimension)."""
+    pad = [(0, 0)] * x.ndim
+    idx = [slice(None)] * x.ndim
+    if not reverse:
+        pad[axis] = (d, 0)
+        idx[axis] = slice(0, x.shape[axis])
+    else:
+        pad[axis] = (0, d)
+        idx[axis] = slice(d, d + x.shape[axis])
+    return jnp.pad(x, pad, constant_values=fill)[tuple(idx)]
+
+
+def _segmented_min_scan(v: jnp.ndarray, mask: jnp.ndarray, axis: int, sent,
+                        reverse: bool = False) -> jnp.ndarray:
+    """Segmented running minimum along `axis` via prefix doubling: the min
+    propagates only within contiguous mask runs (non-mask pixels hold
+    `sent` and block propagation). log2(n) steps of shifted elementwise
+    min/and — streaming ops only, no gathers.
+
+    Invariant after step k (d = 2^k): v[i] = min over the trailing window
+    of its run of length min(2^k, run length ending at i); c[i] = "the d
+    predecessors of i are all in my run"."""
+    n = v.shape[axis]
+    c = mask & _shifted(mask, 1, axis, False, reverse)
+    d = 1
+    while d < n:
+        pulled = _shifted(v, d, axis, sent, reverse)
+        v = jnp.where(c, jnp.minimum(v, pulled), v)
+        c = c & _shifted(c, d, axis, False, reverse)
+        d *= 2
+    return v
+
+
 @partial(jax.jit, static_argnames=("connectivity", "jump_rounds"))
-def label_components(mask: jnp.ndarray, connectivity: int = 8, jump_rounds: int = 2):
+def label_components(mask: jnp.ndarray, connectivity: int = 8, jump_rounds: int = 0):
     """Label connected components of a boolean/uint8 mask batch.
 
     mask: (N, H, W) (or (H, W)); returns int32 "root key" labels of the same
     shape: each component carries (its minimum scan key K) + 1, background
     is 0. Use `relabel_dense` for cv2-compatible dense ids.
+
+    Algorithm (TPU-shaped): iterate {3x3 neighbor-min sweep (diagonal
+    links), then segmented min-scans along rows and columns (propagating a
+    label across an entire horizontal/vertical run in one O(log) sweep)}
+    until fixed point. All ops are streaming (reduce_window, associative
+    scan) — no per-pixel gathers in the loop. Convex blobs converge in 1-2
+    iterations; iteration count scales with the number of "turns" of the
+    most serpentine component, not its pixel length. jump_rounds > 0
+    additionally applies pointer-jumping rounds (gather-based, expensive on
+    TPU — only worth it for pathological maze masks).
     """
     squeeze = mask.ndim == 2
     if squeeze:
@@ -104,7 +151,6 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8, jump_rounds: int 
     label0 = jnp.where(m, kmap[None], jnp.int32(sent))
     nb_min = _neighbor_min_8 if connectivity == 8 else _neighbor_min_4
     flat_m = m.reshape(N, H * W)
-    # pad slot (index H*W) always holds `sent`
     pad_col = jnp.full((N, 1), sent, jnp.int32)
 
     def jump(flat):
@@ -118,13 +164,22 @@ def label_components(mask: jnp.ndarray, connectivity: int = 8, jump_rounds: int 
             jnp.int32(sent),
         )
 
+    def sweep(label):
+        label = jnp.where(m, jnp.minimum(label, nb_min(label, sent)), sent)
+        label = _segmented_min_scan(label, m, axis=2, sent=sent)
+        label = _segmented_min_scan(label, m, axis=2, sent=sent, reverse=True)
+        label = _segmented_min_scan(label, m, axis=1, sent=sent)
+        label = _segmented_min_scan(label, m, axis=1, sent=sent, reverse=True)
+        return label
+
     def body(state):
         label, _ = state
-        new = jnp.where(m, jnp.minimum(label, nb_min(label, sent)), jnp.int32(sent))
-        flat = new.reshape(N, H * W)
-        for _ in range(jump_rounds):
-            flat = jump(flat)
-        new = flat.reshape(N, H, W)
+        new = sweep(label)
+        if jump_rounds:
+            flat = new.reshape(N, H * W)
+            for _ in range(jump_rounds):
+                flat = jump(flat)
+            new = flat.reshape(N, H, W)
         return new, jnp.any(new != label)
 
     label, _ = lax.while_loop(
@@ -172,13 +227,17 @@ def relabel_dense(
 
 
 @partial(
-    jax.jit, static_argnames=("max_components", "connectivity", "jump_rounds")
+    jax.jit,
+    static_argnames=(
+        "max_components", "connectivity", "jump_rounds", "compute_bbox"
+    ),
 )
 def connected_components_with_stats(
     mask: jnp.ndarray,
     max_components: int = 64,
     connectivity: int = 8,
-    jump_rounds: int = 2,
+    jump_rounds: int = 0,
+    compute_bbox: bool = True,
 ):
     """Batched cv2.connectedComponentsWithStats.
 
@@ -202,37 +261,80 @@ def connected_components_with_stats(
     )
     N, H, W = dense.shape
     C = max_components
+    # Per-component reductions as MXU matmuls: a bf16 one-hot of the label
+    # map contracted against a per-pixel payload. Scatter-based
+    # bincount/segment_* ops serialize badly on TPU (hundreds of ms per
+    # 1080p batch); these dots are ~free. Exactness: coordinates are split
+    # into 6-bit limbs (values <= 63, exact in bf16) so each partial sum
+    # stays integer-exact in the f32 accumulator for any component with
+    # area <= 2^24/63 ≈ 266k px; limbs are recombined in int32. Only the
+    # background row (id 0) of csum can exceed that and lose exactness —
+    # it is not a blob statistic.
+    assert W < 2**18 and H < 2**18
     flat = dense.reshape(N, H * W)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(-1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(-1)
-
-    def per_frame(d):
-        area = jnp.bincount(d, length=C + 1).astype(jnp.int32)
-        # integer coordinate sums: exact, so the final centroid division can
-        # be done in float64 on host for bit-identical cv2/refimpl output
-        sx = jax.ops.segment_sum(cols, d, num_segments=C + 1).astype(jnp.int32)
-        sy = jax.ops.segment_sum(rows, d, num_segments=C + 1).astype(jnp.int32)
-        xmin = jax.ops.segment_min(cols, d, num_segments=C + 1)
-        xmax = jax.ops.segment_max(cols, d, num_segments=C + 1)
-        ymin = jax.ops.segment_min(rows, d, num_segments=C + 1)
-        ymax = jax.ops.segment_max(rows, d, num_segments=C + 1)
-        present = area > 0
-        safe_area = jnp.maximum(area, 1).astype(jnp.float32)
-        cx = jnp.where(present, sx / safe_area, 0.0).astype(jnp.float32)
-        cy = jnp.where(present, sy / safe_area, 0.0).astype(jnp.float32)
-        csum = jnp.where(
-            present[:, None], jnp.stack([sx, sy], axis=-1), 0
-        ).astype(jnp.int32)
+    ids = jnp.arange(C + 1, dtype=jnp.int32)
+    eq = (flat[:, :, None] == ids).astype(jnp.bfloat16)  # (N, HW, C+1)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (H * W, 1), 0)[:, 0]
+    x = lin % W
+    y = lin // W
+    payload = jnp.stack(
+        [
+            jnp.ones_like(x),
+            x & 63, (x >> 6) & 63, x >> 12,
+            y & 63, (y >> 6) & 63, y >> 12,
+        ],
+        axis=-1,
+    ).astype(jnp.bfloat16)  # (HW, 7)
+    sums = jnp.einsum(
+        "npc,pk->nck", eq, payload, preferred_element_type=jnp.float32
+    )  # (N, C+1, 7)
+    area = sums[..., 0].astype(jnp.int32)
+    sx = (
+        sums[..., 1].astype(jnp.int32)
+        + (sums[..., 2].astype(jnp.int32) << 6)
+        + (sums[..., 3].astype(jnp.int32) << 12)
+    )
+    sy = (
+        sums[..., 4].astype(jnp.int32)
+        + (sums[..., 5].astype(jnp.int32) << 6)
+        + (sums[..., 6].astype(jnp.int32) << 12)
+    )
+    present = area > 0
+    safe_area = jnp.maximum(area, 1).astype(jnp.float32)
+    cx = jnp.where(present, sx / safe_area, 0.0).astype(jnp.float32)
+    cy = jnp.where(present, sy / safe_area, 0.0).astype(jnp.float32)
+    centroid = jnp.stack([cx, cy], axis=-1)
+    csum = jnp.where(
+        present[:, :, None], jnp.stack([sx, sy], axis=-1), 0
+    ).astype(jnp.int32)
+    if compute_bbox:
+        # bbox from row/column presence, again via dots: per-row and
+        # per-column member counts, then tiny index min/max reductions.
+        eq4 = eq.reshape(N, H, W, C + 1)
+        ones_w = jnp.ones((W,), jnp.bfloat16)
+        ones_h = jnp.ones((H,), jnp.bfloat16)
+        row_cnt = jnp.einsum(
+            "nhwc,w->nhc", eq4, ones_w, preferred_element_type=jnp.float32
+        )  # (N, H, C+1)
+        col_cnt = jnp.einsum(
+            "nhwc,h->nwc", eq4, ones_h, preferred_element_type=jnp.float32
+        )  # (N, W, C+1)
+        BIGI = jnp.int32(2**30)
+        hs = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        ws = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+        ymin = jnp.min(jnp.where(row_cnt > 0, hs, BIGI), axis=1)
+        ymax = jnp.max(jnp.where(row_cnt > 0, hs, -1), axis=1)
+        xmin = jnp.min(jnp.where(col_cnt > 0, ws, BIGI), axis=1)
+        xmax = jnp.max(jnp.where(col_cnt > 0, ws, -1), axis=1)
         bbox = jnp.where(
-            present[:, None],
+            present[:, :, None],
             jnp.stack(
                 [xmin, ymin, xmax - xmin + 1, ymax - ymin + 1], axis=-1
             ),
             0,
         ).astype(jnp.int32)
-        return area, bbox, jnp.stack([cx, cy], axis=-1), csum
-
-    area, bbox, centroid, csum = jax.vmap(per_frame)(flat)
+    else:
+        bbox = jnp.zeros((N, C + 1, 4), jnp.int32)
     out = {
         "labels": dense,
         "count": count,
