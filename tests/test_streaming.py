@@ -1,0 +1,122 @@
+"""Config 4 shape (BASELINE.json:10): streamed processing with rolling
+background, checkpoint/resume at batch granularity, decode-error
+tolerance, and HDF5 output equality."""
+
+import numpy as np
+import pytest
+
+from refimpl.synthetic import moving_disk_clip
+from tpuva.export import write_tracks_hdf5
+from tpuva.graph.config import (
+    BackgroundConfig,
+    PipelineConfig,
+    SegmentConfig,
+    TrackConfig,
+)
+from tpuva.graph.pipeline import process_clip
+from tpuva.graph.streaming import (
+    StreamingPipeline,
+    load_checkpoint,
+    save_checkpoint,
+)
+from tpuva.io import RobustVideo, VideoMemory
+
+CFG = PipelineConfig(
+    background=BackgroundConfig(alpha=0.03),
+    segment=SegmentConfig(threshold=40.0, min_area=20, max_blobs=4),
+    track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+    batch=8,
+)
+
+
+def clip_and_plate(frames=64):
+    clip, _, plate = moving_disk_clip(h=96, w=128, frames=frames, radius=8,
+                                      seed=11)
+    return clip, plate
+
+
+def rows_equal(a, b):
+    fa = [(int(r[0]), int(r[1]), round(r[2], 3), round(r[3], 3), int(r[4]))
+          for r in a]
+    fb = [(int(r[0]), int(r[1]), round(r[2], 3), round(r[3], 3), int(r[4]))
+          for r in b]
+    return sorted(fa) == sorted(fb)
+
+
+def test_streaming_matches_process_clip():
+    clip, plate = clip_and_plate()
+    ref_rows, _, _ = process_clip(clip, CFG, background0=plate)
+    sp = StreamingPipeline(CFG, parallel_bg=False)
+    rows = sp.run(VideoMemory(clip), background0=plate)
+    assert rows_equal(rows, ref_rows)
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Interrupt mid-stream; resume must produce the identical trajectory
+    set as one uninterrupted run."""
+    clip, plate = clip_and_plate(frames=64)
+    ckpt = str(tmp_path / "state.npz")
+
+    full = StreamingPipeline(CFG, parallel_bg=False).run(
+        VideoMemory(clip), background0=plate
+    )
+
+    # phase 1: process only the first half (as if the job died after it)
+    sp = StreamingPipeline(
+        CFG, checkpoint_path=ckpt, checkpoint_every=10**9, parallel_bg=False
+    )
+    sp.run(VideoMemory(clip[:32]), background0=plate)
+    carry, rows_half = load_checkpoint(ckpt, CFG)
+    assert int(carry.frame_idx) == 32
+
+    # phase 2: resume against the full video
+    sp2 = StreamingPipeline(
+        CFG, checkpoint_path=ckpt, checkpoint_every=10**9, parallel_bg=False
+    )
+    rows = sp2.run(VideoMemory(clip), background0=plate, resume=True)
+    assert rows_equal(rows, full)
+
+
+def test_checkpoint_config_mismatch_rejected(tmp_path):
+    clip, plate = clip_and_plate(frames=16)
+    ckpt = str(tmp_path / "state.npz")
+    sp = StreamingPipeline(CFG, checkpoint_path=ckpt, parallel_bg=False)
+    sp.run(VideoMemory(clip), background0=plate)
+    import dataclasses
+
+    other = dataclasses.replace(
+        CFG, segment=SegmentConfig(threshold=50.0, min_area=20, max_blobs=4)
+    )
+    with pytest.raises(ValueError):
+        load_checkpoint(ckpt, other)
+
+
+def test_robust_video_repeats_on_decode_error():
+    clip, plate = clip_and_plate(frames=16)
+
+    class Flaky(VideoMemory):
+        def get_frame(self, index):
+            if index == 5:
+                raise IOError("synthetic decode error")
+            return super().get_frame(index)
+
+    v = RobustVideo(Flaky(clip))
+    frames = v.to_array()
+    assert len(v.errors) == 1 and v.errors[0][0] == 5
+    np.testing.assert_array_equal(frames[5], clip[4])  # repeated last good
+    np.testing.assert_array_equal(frames[6], clip[6])
+
+
+def test_hdf5_output_matches_refimpl(tmp_path):
+    from refimpl.pipeline import run_pipeline
+    from tpuva.export import read_tracks_hdf5
+
+    clip, plate = clip_and_plate(frames=40)
+    ref = run_pipeline(clip, CFG, background0=plate)
+    rows = StreamingPipeline(CFG, parallel_bg=False).run(
+        VideoMemory(clip), background0=plate
+    )
+    p1, p2 = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    write_tracks_hdf5(p1, ref.rows)
+    write_tracks_hdf5(p2, rows)
+    assert open(p1, "rb").read() == open(p2, "rb").read()

@@ -1,0 +1,188 @@
+"""Streamed long-video processing with checkpoint/resume (component J +
+SURVEY.md §5.3/§5.4; config 4, BASELINE.json:10).
+
+The reference's recovery story was pass-level: each pass wrote its full
+HDF5 result and a crashed job was rerun from the last pass boundary. The
+rebuild checkpoints the scan carry (background model, track table, frame
+index — all the sequential state there is) every K batches, so a 100k+
+frame job resumes at batch granularity: restore the carry, seek the video,
+continue. Decode is overlapped with device compute via BatchStager;
+host memory stays bounded by the stager queue.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuva.graph.config import PipelineConfig
+from tpuva.graph.pipeline import (
+    PipelineCarry,
+    collect_rows,
+    init_carry,
+    process_batch,
+)
+from tpuva.io.base import VideoBase
+from tpuva.io.staging import BatchStager
+from tpuva.track.table import TrackState
+from tpuva.utils import BatchLogger
+
+
+def save_checkpoint(path: str, carry: PipelineCarry, rows: list,
+                    cfg: PipelineConfig) -> None:
+    """Atomic snapshot of the scan carry + rows so far (npz)."""
+    payload = {
+        "bg": np.asarray(carry.bg),
+        "bg_valid": np.asarray(carry.bg_valid),
+        "frame_idx": np.asarray(carry.frame_idx),
+        "track_pos": np.asarray(carry.track.pos),
+        "track_tid": np.asarray(carry.track.tid),
+        "track_missed": np.asarray(carry.track.missed),
+        "track_active": np.asarray(carry.track.active),
+        "track_next_id": np.asarray(carry.track.next_id),
+        "rows": np.asarray(rows, np.float64).reshape(-1, 5),
+        "config_json": np.frombuffer(
+            cfg.to_json().encode(), dtype=np.uint8
+        ),
+    }
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str, cfg: PipelineConfig):
+    """Returns (carry, rows) or raises. Validates the config matches."""
+    z = np.load(path)
+    saved_cfg = bytes(z["config_json"]).decode()
+    if PipelineConfig.from_json(saved_cfg) != cfg:
+        raise ValueError(
+            "checkpoint was produced with a different PipelineConfig"
+        )
+    carry = PipelineCarry(
+        bg=jnp.asarray(z["bg"]),
+        bg_valid=jnp.asarray(z["bg_valid"]),
+        track=TrackState(
+            pos=jnp.asarray(z["track_pos"]),
+            tid=jnp.asarray(z["track_tid"]),
+            missed=jnp.asarray(z["track_missed"]),
+            active=jnp.asarray(z["track_active"]),
+            next_id=jnp.asarray(z["track_next_id"]),
+        ),
+        frame_idx=jnp.asarray(z["frame_idx"]),
+    )
+    rows = [tuple(r) for r in z["rows"]]
+    return carry, rows
+
+
+class StreamingPipeline:
+    """Drive a video of any length through the batched device pipeline.
+
+    - decode -> staging -> device compute 3-stage overlap (SURVEY.md §2.4 PP)
+    - carry stays on device between batches
+    - optional periodic checkpointing + resume
+    - structured per-batch progress logging (fps, queue depth, SURVEY §5.5)
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 50,  # batches
+        parallel_bg: bool = True,
+        max_components: int = 64,
+        queue_depth: int = 3,
+        log: bool = False,
+    ):
+        self.cfg = cfg
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+        self.parallel_bg = parallel_bg
+        self.max_components = max_components
+        self.queue_depth = queue_depth
+        self.logger = BatchLogger(enabled=log)
+
+    def run(
+        self,
+        video: VideoBase,
+        background0: Optional[np.ndarray] = None,
+        resume: bool = True,
+    ):
+        """Process the whole video; returns trajectory rows. If a
+        checkpoint exists (and resume=True), continues from it."""
+        cfg = self.cfg
+        W, H = video.size
+        rows: list = []
+        carry = init_carry(cfg, H, W, background0)
+        start_frame = 0
+        if (
+            resume
+            and self.checkpoint_path
+            and os.path.exists(self.checkpoint_path)
+        ):
+            carry, rows = load_checkpoint(self.checkpoint_path, cfg)
+            start_frame = int(carry.frame_idx)
+
+        total = video.frame_count
+        if start_frame >= total:
+            return rows
+        source = video[start_frame:] if start_frame else video
+        stager = BatchStager(source, cfg.batch, queue_depth=self.queue_depth)
+        # keep at most 2 batches of un-collected device output in flight so
+        # host collection overlaps device compute without unbounded growth
+        pending: list = []
+        batches_done = 0
+        try:
+            for n, dev_batch in stager:
+                carry, out = process_batch(
+                    cfg,
+                    carry,
+                    dev_batch,
+                    parallel_bg=self.parallel_bg,
+                    max_components=self.max_components,
+                )
+                pending.append((n, out))
+                if len(pending) >= 2:
+                    self._drain(pending, rows, upto=1)
+                batches_done += 1
+                self.logger.log(
+                    n, queue=stager.depth,
+                    tracks=None,
+                )
+                if (
+                    self.checkpoint_path
+                    and batches_done % self.checkpoint_every == 0
+                ):
+                    self._drain(pending, rows)
+                    jax.block_until_ready(carry.bg)
+                    save_checkpoint(self.checkpoint_path, carry, rows, cfg)
+            self._drain(pending, rows)
+            if self.checkpoint_path:
+                jax.block_until_ready(carry.bg)
+                save_checkpoint(self.checkpoint_path, carry, rows, cfg)
+        finally:
+            stager.close()
+        return rows
+
+    @staticmethod
+    def _drain(pending: list, rows: list, upto: Optional[int] = None):
+        while pending if upto is None else len(pending) > upto:
+            n, out = pending.pop(0)
+            rows.extend(
+                collect_rows(
+                    out["rows"][:n], out["row_valid"][:n],
+                    row_sums=out["row_sums"][:n],
+                )
+            )

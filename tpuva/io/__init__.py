@@ -1,6 +1,7 @@
 from tpuva.io.base import VideoBase, VideoSlice, VideoImageStack  # noqa: F401
 from tpuva.io.memory import VideoMemory  # noqa: F401
 from tpuva.io.file import (  # noqa: F401
+    RobustVideo,
     VideoFile,
     VideoFileStack,
     VideoFileWriter,

@@ -202,3 +202,38 @@ def load_any_video(path, gray: bool = False) -> VideoBase:
             return VideoFile(matches[0], gray=gray)
         return VideoFileStack(matches, gray=gray)
     return VideoFile(path, gray=gray)
+
+
+class RobustVideo(VideoBase):
+    """Decode-error tolerance wrapper (SURVEY.md §5.3): a frame that fails
+    to decode is replaced by the last good frame (or a zero frame at the
+    start) and the event is recorded in `errors` — the stream keeps
+    flowing instead of killing a 100k-frame job."""
+
+    def __init__(self, source: VideoBase, on_error: str = "repeat"):
+        super().__init__(source.frame_count, source.size, source.fps,
+                         source.is_color)
+        if on_error not in ("repeat", "raise"):
+            raise ValueError(on_error)
+        self._source = source
+        self._on_error = on_error
+        self._last_good = None
+        self.errors: list[tuple[int, str]] = []
+
+    def get_frame(self, index: int):
+        try:
+            frame = self._source.get_frame(index)
+        except (IOError, OSError) as e:
+            if self._on_error == "raise":
+                raise
+            self.errors.append((index, str(e)))
+            if self._last_good is not None:
+                return self._last_good
+            h, w = self.height, self.width
+            shape = (h, w, 3) if self.is_color else (h, w)
+            return np.zeros(shape, np.uint8)
+        self._last_good = frame
+        return frame
+
+    def close(self):
+        self._source.close()
