@@ -103,9 +103,17 @@ def background_trajectory(
     return S * bg0[None] + O
 
 
+def _can_fuse(cfg: PipelineConfig) -> bool:
+    """The Pallas fused front-end covers blur+bg+threshold+morph (no
+    median filter yet)."""
+    return cfg.median is None
+
+
 @partial(
     jax.jit,
-    static_argnames=("cfg", "parallel_bg", "return_masks", "max_components"),
+    static_argnames=(
+        "cfg", "parallel_bg", "return_masks", "max_components", "use_pallas"
+    ),
 )
 def process_batch(
     cfg: PipelineConfig,
@@ -114,8 +122,13 @@ def process_batch(
     parallel_bg: bool = False,
     return_masks: bool = False,
     max_components: int = 64,
+    use_pallas: bool = False,
 ):
     """One fused device program over an N-frame batch.
+
+    use_pallas=True runs the segmentation front-end as the VMEM-resident
+    Pallas kernel (tpuva.ops.pallas.fused_segment — bit-identical to the
+    jnp path, ~free vs dispatch overhead); requires cfg.median is None.
 
     Returns (new_carry, out) with out:
       rows      (N, max_blobs, 5) float32 — (track_id, frame, x, y, area)
@@ -123,17 +136,43 @@ def process_batch(
       n_det     (N,) int32
       masks     (N, H, W) uint8, only if return_masks
     """
-    f = filter_batch(cfg, frames.astype(jnp.float32))
-    bg0 = jnp.where(carry.bg_valid, carry.bg, f[0])
-    bgs = background_trajectory(bg0, f, cfg.background.alpha, parallel_bg)
-    diff = jnp.abs(f - bgs)
-    mask = threshold(diff, cfg.segment.threshold)
-    if cfg.morph_open is not None:
-        se = structuring_element(cfg.morph_open.shape, cfg.morph_open.ksize)
-        mask = morph_open(mask, se, cfg.morph_open.iterations)
-    if cfg.morph_close is not None:
-        se = structuring_element(cfg.morph_close.shape, cfg.morph_close.ksize)
-        mask = morph_close(mask, se, cfg.morph_close.iterations)
+    if use_pallas and _can_fuse(cfg):
+        from tpuva.ops.pallas import fused_segment
+
+        bg0 = jnp.where(
+            carry.bg_valid,
+            carry.bg,
+            filter_batch(cfg, frames[:1].astype(jnp.float32))[0],
+        )
+        mask, bg_last = fused_segment(
+            frames,
+            bg0,
+            alpha=cfg.background.alpha,
+            threshold=cfg.segment.threshold,
+            blur_ksize=cfg.blur.ksize if cfg.blur else 0,
+            blur_sigma=cfg.blur.sigma if cfg.blur else 0.0,
+            open_shape=cfg.morph_open.shape if cfg.morph_open else "rect",
+            open_ksize=cfg.morph_open.ksize if cfg.morph_open else 0,
+            open_iters=cfg.morph_open.iterations if cfg.morph_open else 1,
+            close_shape=cfg.morph_close.shape if cfg.morph_close else "rect",
+            close_ksize=cfg.morph_close.ksize if cfg.morph_close else 0,
+            close_iters=cfg.morph_close.iterations if cfg.morph_close else 1,
+        )
+    else:
+        f = filter_batch(cfg, frames.astype(jnp.float32))
+        bg0 = jnp.where(carry.bg_valid, carry.bg, f[0])
+        bgs = background_trajectory(bg0, f, cfg.background.alpha, parallel_bg)
+        bg_last = bgs[-1]
+        diff = jnp.abs(f - bgs)
+        mask = threshold(diff, cfg.segment.threshold)
+        if cfg.morph_open is not None:
+            se = structuring_element(cfg.morph_open.shape, cfg.morph_open.ksize)
+            mask = morph_open(mask, se, cfg.morph_open.iterations)
+        if cfg.morph_close is not None:
+            se = structuring_element(
+                cfg.morph_close.shape, cfg.morph_close.ksize
+            )
+            mask = morph_close(mask, se, cfg.morph_close.iterations)
     stats = connected_components_with_stats(
         mask, max_components=max_components, compute_bbox=False
     )
@@ -160,7 +199,7 @@ def process_batch(
         step, carry.track, (dets, det_valid, fidx)
     )
     new_carry = PipelineCarry(
-        bg=bgs[-1],
+        bg=bg_last,
         bg_valid=jnp.bool_(True),
         track=tstate,
         frame_idx=carry.frame_idx + N,
@@ -211,6 +250,7 @@ def process_clip(
     parallel_bg: bool = False,
     return_masks: bool = False,
     max_components: int = 64,
+    use_pallas: bool = False,
 ):
     """Host convenience driver: run a whole (T, H, W) uint8 clip through
     batched device processing. Returns (rows, final_carry, masks-or-None).
@@ -237,6 +277,7 @@ def process_clip(
             parallel_bg=parallel_bg,
             return_masks=return_masks,
             max_components=max_components,
+            use_pallas=use_pallas,
         )
         all_rows.extend(
             collect_rows(

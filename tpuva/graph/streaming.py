@@ -105,6 +105,7 @@ class StreamingPipeline:
         max_components: int = 64,
         queue_depth: int = 3,
         log: bool = False,
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.checkpoint_path = checkpoint_path
@@ -112,6 +113,7 @@ class StreamingPipeline:
         self.parallel_bg = parallel_bg
         self.max_components = max_components
         self.queue_depth = queue_depth
+        self.use_pallas = use_pallas
         self.logger = BatchLogger(enabled=log)
 
     def run(
@@ -152,6 +154,7 @@ class StreamingPipeline:
                     dev_batch,
                     parallel_bg=self.parallel_bg,
                     max_components=self.max_components,
+                    use_pallas=self.use_pallas,
                 )
                 pending.append((n, out))
                 if len(pending) >= 2:
