@@ -109,6 +109,121 @@ def _can_fuse(cfg: PipelineConfig) -> bool:
     return cfg.median is None
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _fused_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
+    from tpuva.ops.pallas import fused_segment
+
+    bg0 = jnp.where(
+        carry.bg_valid,
+        carry.bg,
+        filter_batch(cfg, frames[:1].astype(jnp.float32))[0],
+    )
+    return fused_segment(
+        frames,
+        bg0,
+        alpha=cfg.background.alpha,
+        threshold=cfg.segment.threshold,
+        blur_ksize=cfg.blur.ksize if cfg.blur else 0,
+        blur_sigma=cfg.blur.sigma if cfg.blur else 0.0,
+        open_shape=cfg.morph_open.shape if cfg.morph_open else "rect",
+        open_ksize=cfg.morph_open.ksize if cfg.morph_open else 0,
+        open_iters=cfg.morph_open.iterations if cfg.morph_open else 1,
+        close_shape=cfg.morph_close.shape if cfg.morph_close else "rect",
+        close_ksize=cfg.morph_close.ksize if cfg.morph_close else 0,
+        close_iters=cfg.morph_close.iterations if cfg.morph_close else 1,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "return_masks", "max_components"),
+)
+def _post_mask_stage(
+    cfg: PipelineConfig,
+    carry: "PipelineCarry",
+    root: jnp.ndarray,
+    mask: jnp.ndarray,
+    bg_last: jnp.ndarray,
+    return_masks: bool = False,
+    max_components: int = 64,
+):
+    """Stats + detection extraction + tracker scan, given precomputed CCL
+    root labels (staged TPU path — see process_batch_staged)."""
+    from tpuva.ops.label import _stats_from_root
+
+    stats = _stats_from_root(
+        root, max_components=max_components, compute_bbox=False,
+        compute_labels=False,
+    )
+    return _finish_batch(
+        cfg, carry, stats, mask, bg_last, return_masks
+    )
+
+
+def _finish_batch(cfg, carry, stats, mask, bg_last, return_masks):
+    dets, n_det, det_valid, det_sums = extract_detections(
+        stats, cfg.segment.min_area, cfg.segment.max_blobs
+    )
+
+    def step(ts: TrackState, inp):
+        d, dv, fi = inp
+        ts, rows, rv = track_update(
+            ts,
+            d,
+            dv,
+            fi,
+            max_dist=cfg.track.max_dist,
+            death_patience=cfg.track.death_patience,
+            assigner=cfg.track.assigner,
+        )
+        return ts, (rows, rv)
+
+    N = mask.shape[0]
+    fidx = carry.frame_idx + jnp.arange(N, dtype=jnp.int32)
+    tstate, (rows, row_valid) = lax.scan(
+        step, carry.track, (dets, det_valid, fidx)
+    )
+    new_carry = PipelineCarry(
+        bg=bg_last,
+        bg_valid=jnp.bool_(True),
+        track=tstate,
+        frame_idx=carry.frame_idx + N,
+    )
+    out = {
+        "rows": rows,
+        "row_valid": row_valid,
+        "n_det": n_det,
+        "row_sums": det_sums,
+    }
+    if return_masks:
+        out["masks"] = mask
+    return new_carry, out
+
+
+def process_batch_staged(
+    cfg: PipelineConfig,
+    carry: "PipelineCarry",
+    frames: jnp.ndarray,
+    return_masks: bool = False,
+    max_components: int = 64,
+):
+    """TPU fast path: the three pipeline stages (Pallas fused mask, Pallas
+    tiled CCL, stats+tracker) as separate jitted dispatches.
+
+    Dispatches chain asynchronously on device — the host never blocks
+    between them — while keeping per-stage XLA programs small: compiling
+    all three into one program sends compile time superlinear (~200s+ vs
+    ~20s total for the stages)."""
+    from tpuva.ops.pallas.ccl import label_components_tiled
+
+    mask, bg_last = _fused_mask_stage(cfg, carry, frames)
+    root = label_components_tiled(mask)
+    return _post_mask_stage(
+        cfg, carry, root, mask, bg_last,
+        return_masks=return_masks, max_components=max_components,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -137,27 +252,7 @@ def process_batch(
       masks     (N, H, W) uint8, only if return_masks
     """
     if use_pallas and _can_fuse(cfg):
-        from tpuva.ops.pallas import fused_segment
-
-        bg0 = jnp.where(
-            carry.bg_valid,
-            carry.bg,
-            filter_batch(cfg, frames[:1].astype(jnp.float32))[0],
-        )
-        mask, bg_last = fused_segment(
-            frames,
-            bg0,
-            alpha=cfg.background.alpha,
-            threshold=cfg.segment.threshold,
-            blur_ksize=cfg.blur.ksize if cfg.blur else 0,
-            blur_sigma=cfg.blur.sigma if cfg.blur else 0.0,
-            open_shape=cfg.morph_open.shape if cfg.morph_open else "rect",
-            open_ksize=cfg.morph_open.ksize if cfg.morph_open else 0,
-            open_iters=cfg.morph_open.iterations if cfg.morph_open else 1,
-            close_shape=cfg.morph_close.shape if cfg.morph_close else "rect",
-            close_ksize=cfg.morph_close.ksize if cfg.morph_close else 0,
-            close_iters=cfg.morph_close.iterations if cfg.morph_close else 1,
-        )
+        mask, bg_last = _fused_mask_stage(cfg, carry, frames)
     else:
         f = filter_batch(cfg, frames.astype(jnp.float32))
         bg0 = jnp.where(carry.bg_valid, carry.bg, f[0])
@@ -179,45 +274,7 @@ def process_batch(
         compute_bbox=False,
         compute_labels=False,
     )
-    dets, n_det, det_valid, det_sums = extract_detections(
-        stats, cfg.segment.min_area, cfg.segment.max_blobs
-    )
-
-    def step(ts: TrackState, inp):
-        d, dv, fi = inp
-        ts, rows, rv = track_update(
-            ts,
-            d,
-            dv,
-            fi,
-            max_dist=cfg.track.max_dist,
-            death_patience=cfg.track.death_patience,
-            assigner=cfg.track.assigner,
-        )
-        return ts, (rows, rv)
-
-    N = frames.shape[0]
-    fidx = carry.frame_idx + jnp.arange(N, dtype=jnp.int32)
-    tstate, (rows, row_valid) = lax.scan(
-        step, carry.track, (dets, det_valid, fidx)
-    )
-    new_carry = PipelineCarry(
-        bg=bg_last,
-        bg_valid=jnp.bool_(True),
-        track=tstate,
-        frame_idx=carry.frame_idx + N,
-    )
-    out = {
-        "rows": rows,
-        "row_valid": row_valid,
-        "n_det": n_det,
-        # exact integer coordinate sums per detection slot, for host-side
-        # float64 centroid division (bit-identical to cv2/refimpl export)
-        "row_sums": det_sums,
-    }
-    if return_masks:
-        out["masks"] = mask
-    return new_carry, out
+    return _finish_batch(cfg, carry, stats, mask, bg_last, return_masks)
 
 
 def collect_rows(rows: np.ndarray, row_valid: np.ndarray, max_frame=None,
@@ -273,15 +330,24 @@ def process_clip(
         if n < N:
             pad = np.repeat(chunk[-1:], N - n, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        carry, out = process_batch(
-            cfg,
-            carry,
-            jnp.asarray(chunk),
-            parallel_bg=parallel_bg,
-            return_masks=return_masks,
-            max_components=max_components,
-            use_pallas=use_pallas,
-        )
+        if use_pallas and _can_fuse(cfg) and jax.default_backend() == "tpu":
+            carry, out = process_batch_staged(
+                cfg,
+                carry,
+                jnp.asarray(chunk),
+                return_masks=return_masks,
+                max_components=max_components,
+            )
+        else:
+            carry, out = process_batch(
+                cfg,
+                carry,
+                jnp.asarray(chunk),
+                parallel_bg=parallel_bg,
+                return_masks=return_masks,
+                max_components=max_components,
+                use_pallas=use_pallas,
+            )
         all_rows.extend(
             collect_rows(
                 out["rows"], out["row_valid"], max_frame=T,

@@ -24,9 +24,11 @@ import jax.numpy as jnp
 from tpuva.graph.config import PipelineConfig
 from tpuva.graph.pipeline import (
     PipelineCarry,
+    _can_fuse,
     collect_rows,
     init_carry,
     process_batch,
+    process_batch_staged,
 )
 from tpuva.io.base import VideoBase
 from tpuva.io.staging import BatchStager
@@ -116,6 +118,24 @@ class StreamingPipeline:
         self.use_pallas = use_pallas
         self.logger = BatchLogger(enabled=log)
 
+    def _step(self, cfg, carry, dev_batch):
+        if (
+            self.use_pallas
+            and _can_fuse(cfg)
+            and jax.default_backend() == "tpu"
+        ):
+            return process_batch_staged(
+                cfg, carry, dev_batch, max_components=self.max_components
+            )
+        return process_batch(
+            cfg,
+            carry,
+            dev_batch,
+            parallel_bg=self.parallel_bg,
+            max_components=self.max_components,
+            use_pallas=self.use_pallas,
+        )
+
     def run(
         self,
         video: VideoBase,
@@ -148,14 +168,7 @@ class StreamingPipeline:
         batches_done = 0
         try:
             for n, dev_batch in stager:
-                carry, out = process_batch(
-                    cfg,
-                    carry,
-                    dev_batch,
-                    parallel_bg=self.parallel_bg,
-                    max_components=self.max_components,
-                    use_pallas=self.use_pallas,
-                )
+                carry, out = self._step(cfg, carry, dev_batch)
                 pending.append((n, out))
                 if len(pending) >= 2:
                     self._drain(pending, rows, upto=1)

@@ -250,6 +250,103 @@ def _to_kspace(x: jnp.ndarray, connectivity: int) -> jnp.ndarray:
 )
 def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
                 chunk: int = 512):
+    """The first `max_components` root keys in cv2 id order.
+
+    Transpose-free "strip" scheme: a chunk of 512 consecutive K slots is a
+    spatially CONTIGUOUS region (a 2x256-pixel strip for 8-conn block
+    order; 512 pixels of one row for 4-conn), so
+
+    1. per-chunk root counts come from plain contiguous reductions over the
+       padded root-flag image (no space-to-depth transpose — minor-dim
+       interleave transposes cost ~100ms/batch at 1080p on TPU);
+    2. the c-th root's chunk is found by a tiny per-frame searchsorted
+       over the chunk-count prefix sums;
+    3. only that strip is gathered (C x 512 elements — small), permuted
+       into K order by a static 512-permutation, and the (c - offset)-th
+       set flag inside it located with a cumsum+argmax.
+
+    Returns (table (N, C) int32 of root-label values (K+1; sentinel where
+    absent), n_roots (N,) int32 — the uncapped component count).
+    """
+    N, H, W = root.shape
+    kmap, _inv, sent = _scan_key(H, W, connectivity)
+    C = max_components
+    is_root = (root > 0) & (root == jnp.asarray(kmap)[None] + 1)
+    cs = jnp.arange(C, dtype=jnp.int32)
+
+    if connectivity == 8:
+        Hb, Wb = (H + 1) // 2, (W + 1) // 2
+        He = 2 * Hb
+        Qc = -(-Wb // 128)  # strips per block-row
+        Wp = Qc * 256
+        ir = jnp.pad(is_root, ((0, 0), (0, He - H), (0, Wp - W)))
+        Q = Hb * Qc
+        counts = (
+            ir.reshape(N, Hb, 2, Qc, 256)
+            .sum(axis=(2, 4), dtype=jnp.int32)
+            .reshape(N, Q)
+        )
+        flat = ir.reshape(N, He * Wp)
+        # in-strip spatial order is (dr, dc); K order is
+        # (block=dc//2)*4 + dr*2 + dc%2 — a static permutation
+        dr = np.repeat(np.arange(2), 256)
+        dc = np.tile(np.arange(256), 2)
+        kpos = (dc // 2) * 4 + dr * 2 + (dc % 2)
+        perm = np.empty(512, np.int32)
+        perm[kpos] = np.arange(512)  # spatial index producing K slot t
+        strip_len = 512
+    else:
+        Qc = -(-W // 512)
+        Wp = Qc * 512
+        ir = jnp.pad(is_root, ((0, 0), (0, 0), (0, Wp - W)))
+        Q = H * Qc
+        counts = ir.reshape(N, Q, 512).sum(axis=2, dtype=jnp.int32)
+        flat = ir.reshape(N, H * Wp)
+        perm = np.arange(512, dtype=np.int32)
+        strip_len = 512
+
+    cum = jnp.cumsum(counts, axis=1)  # inclusive (N, Q)
+    offs = cum - counts  # exclusive
+    n_roots = cum[:, -1]
+    chunk_of_c = jax.vmap(
+        lambda cc: jnp.searchsorted(cc, cs, side="right")
+    )(cum).astype(jnp.int32)
+    chunk_of_c = jnp.minimum(chunk_of_c, Q - 1)
+    r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
+
+    # gather each target strip's flags (spatial order), small
+    if connectivity == 8:
+        qr = chunk_of_c // Qc
+        qc = chunk_of_c % Qc
+        base0 = (2 * qr)[:, :, None] * Wp + (256 * qc)[:, :, None]
+        sp_off = jnp.asarray(dr * Wp + dc, jnp.int32)[None, None, :]
+        idx = base0 + sp_off  # (N, C, 512) flat spatial indices
+    else:
+        qr = chunk_of_c // Qc
+        qc = chunk_of_c % Qc
+        base0 = qr[:, :, None] * Wp + (512 * qc)[:, :, None]
+        idx = base0 + jnp.arange(512, dtype=jnp.int32)[None, None, :]
+    strip = jnp.take_along_axis(
+        flat, idx.reshape(N, C * strip_len), axis=1
+    ).reshape(N, C, strip_len)
+    strip_k = strip[:, :, jnp.asarray(perm)]  # K-slot order
+    cumk = jnp.cumsum(strip_k.astype(jnp.int32), axis=2)
+    pos = jnp.argmax(cumk > r_in_chunk[:, :, None], axis=2).astype(jnp.int32)
+
+    if connectivity == 8:
+        b = pos // 4
+        within = pos % 4
+        kval = ((qr * Wb + qc * 128 + b) * 4 + within).astype(jnp.int32)
+    else:
+        kval = (qr * W + qc * 512 + pos).astype(jnp.int32)
+
+    valid = cs[None, :] < n_roots[:, None]
+    table = jnp.where(valid, kval + 1, jnp.int32(sent + 2))
+    return table, n_roots
+
+
+def _root_table_old(root: jnp.ndarray, connectivity: int, max_components: int,
+                    chunk: int = 512):
     """The first `max_components` root keys in cv2 id order, as an MXU-only
     computation (no sort/top_k/gather/scatter/giant-cumsum):
 
@@ -361,9 +458,42 @@ def connected_components_with_stats(
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]
-    root = label_components(
-        mask, connectivity=connectivity, jump_rounds=jump_rounds
+    if jax.default_backend() == "tpu":
+        # grid-sequential Pallas propagation: bit-identical, ~5x faster
+        from tpuva.ops.pallas.ccl import label_components_tiled
+
+        root = label_components_tiled(mask, connectivity=connectivity)
+    else:
+        root = label_components(
+            mask, connectivity=connectivity, jump_rounds=jump_rounds
+        )
+    out = _stats_from_root(
+        root,
+        max_components=max_components,
+        connectivity=connectivity,
+        compute_bbox=compute_bbox,
+        compute_labels=compute_labels,
     )
+    if squeeze:
+        out = {k: v[0] for k, v in out.items()}
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_components", "connectivity", "compute_bbox", "compute_labels"
+    ),
+)
+def _stats_from_root(
+    root: jnp.ndarray,
+    max_components: int = 64,
+    connectivity: int = 8,
+    compute_bbox: bool = True,
+    compute_labels: bool = True,
+):
+    """Stats assembly given precomputed root-key labels (see
+    connected_components_with_stats for the output contract)."""
     N, H, W = root.shape
     C = max_components
     assert W < 2**18 and H < 2**18
@@ -487,8 +617,6 @@ def connected_components_with_stats(
         "centroid": centroid,
         "centroid_sum": csum,
     }
-    if squeeze:
-        out = {k: v[0] for k, v in out.items()}
     return out
 
 

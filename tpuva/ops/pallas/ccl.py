@@ -1,0 +1,238 @@
+"""Tiled-sequential connected-component label propagation in Pallas
+(SURVEY.md §7.3 "hardest kernel", second generation).
+
+The XLA sweep loop (tpuva.ops.label.label_components) re-reads the whole
+frame ~50 times (4 directional prefix-doubling scans x log2(W) steps x
+iterations). This kernel exploits the fact that a Pallas TPU grid executes
+sequentially on the core: tiles are visited in raster order and each tile
+reads a halo that includes the tiles already UPDATED this pass, so labels
+propagate across the entire image in ONE forward + ONE backward pass —
+total HBM traffic ~2 read/write of the label map instead of ~50.
+
+Within a tile, propagation runs to (near) fixed point in VMEM via
+neighbor-min + segmented prefix-doubling scans — pure VPU work, no HBM
+traffic. A global XLA while_loop re-runs fwd+bwd until no pixel changes
+(pathological multi-tile spirals need extra rounds; blobs converge in one).
+
+Label convention inside the pass: int32 scan-key K for mask pixels,
+SENT (> any K) for background — identical to tpuva.ops.label, so results
+are bit-identical with label_components (golden-tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuva.ops.label import _scan_key
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _shift_fill(x, d: int, axis: int, fill):
+    """out[i] = in[i+d] (d may be negative), `fill` outside — implemented
+    as roll + iota edge mask (Mosaic-friendly; no pad/concat)."""
+    if d == 0:
+        return x
+    size = x.shape[axis]
+    y = pltpu.roll(x, (-d) % size, axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    if d > 0:
+        bad = idx >= size - d
+    else:
+        bad = idx < -d
+    return jnp.where(bad, fill, y)
+
+
+def _seg_min_scan_tile(v, m32, axis: int, sent, reverse: bool):
+    """Within-tile segmented running min via prefix doubling (cf.
+    tpuva.ops.label._segmented_min_scan, but on VMEM values). m32 is the
+    mask as int32 0/1 — Mosaic's dynamic_rotate only handles 32-bit
+    lanes, so the connectivity flags stay int32 throughout."""
+    size = v.shape[axis]
+    sgn = 1 if reverse else -1  # forward pulls from smaller index
+    c = m32 & _shift_fill(m32, sgn, axis, 0)
+    d = 1
+    while d < size:
+        v = jnp.where(
+            c != 0, jnp.minimum(v, _shift_fill(v, sgn * d, axis, sent)), v
+        )
+        c = c & _shift_fill(c, sgn * d, axis, 0)
+        d *= 2
+    return v
+
+
+def _tile_sweep(v, m32, sent, connectivity: int):
+    if connectivity == 8:
+        nb = v
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = jnp.minimum(nb, _shift_fill(v, dy, 0, sent) if dx == 0
+                                 else _shift_fill(
+                                     _shift_fill(v, dy, 0, sent), dx, 1, sent
+                                 ))
+    else:
+        nb = v
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            s = _shift_fill(v, dy, 0, sent) if dx == 0 else _shift_fill(v, dx, 1, sent)
+            nb = jnp.minimum(nb, s)
+    v = jnp.where(m32 != 0, jnp.minimum(v, nb), sent)
+    v = _seg_min_scan_tile(v, m32, 1, sent, False)
+    v = _seg_min_scan_tile(v, m32, 1, sent, True)
+    v = _seg_min_scan_tile(v, m32, 0, sent, False)
+    v = _seg_min_scan_tile(v, m32, 0, sent, True)
+    return v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("connectivity", "tile", "max_rounds"),
+)
+def label_components_tiled(
+    mask: jnp.ndarray,
+    connectivity: int = 8,
+    tile: tuple = (128, 256),
+    max_rounds: int = 64,
+):
+    """Drop-in replacement for tpuva.ops.label.label_components on TPU.
+
+    mask: (N, H, W) (or (H, W)); returns int32 root-key labels (min scan
+    key + 1 per component, 0 background) — bit-identical to
+    label_components.
+    """
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    m = mask > 0
+    N, H, W = m.shape
+    kmap, _inv, sent_base = _scan_key(H, W, connectivity)
+    SENT = sent_base + 1  # python int: becomes a kernel-embedded constant
+    TH, TW = tile
+    gh, gw = -(-H // TH), -(-W // TW)
+    Hp, Wp = gh * TH, gw * TW
+    # 8-row / 128-col aligned borders on every side (halo reads and owned
+    # writes all stay (8,128)-aligned), plus cover padding to the tile grid
+    PT, PL = 8, 128
+    lab = jnp.where(m, jnp.asarray(kmap)[None], jnp.int32(SENT))
+    lab = jnp.pad(
+        lab,
+        ((0, 0), (PT, Hp - H + PT), (PL, Wp - W + PL)),
+        constant_values=sent_base + 1,
+    )
+    SH, SW = TH + 2 * PT, TW + 2 * PL
+
+    def make_pass(forward: bool):
+        def kernel(lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w):
+            n = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            if not forward:
+                i = pl.num_programs(1) - 1 - i
+                j = pl.num_programs(2) - 1 - j
+            y0 = i * TH
+            x0 = j * TW
+            rd = pltpu.make_async_copy(
+                lab_out.at[n, pl.ds(y0, SH), pl.ds(x0, SW)], tilebuf, sem_r
+            )
+            rd.start()
+            rd.wait()
+            v0 = tilebuf[:, :]
+            flag_ref[0, 0, 0] = 0
+            # empty-tile early-out: background tiles (the vast majority on
+            # sparse tracking masks) cost one reduce instead of a sweep
+            has_mask = jnp.any(v0 <= jnp.int32(sent_base))
+
+            @pl.when(has_mask)
+            def _():
+                mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
+
+                # iterate to a true LOCAL fixed point (the global
+                # convergence argument requires it) — all VMEM VPU work;
+                # an already-converged tile pays exactly one sweep
+                def inner(s):
+                    v, _ = s
+                    nv = _tile_sweep(v, mm, SENT, connectivity)
+                    return nv, jnp.any(nv != v)
+
+                v, _ = lax.while_loop(
+                    lambda s: s[1], inner, (v0, jnp.bool_(True))
+                )
+                # change flag over the OWNED region only (halo changes are
+                # the neighbor tile's responsibility) — the aliased-buffer
+                # trick makes an XLA-level change comparison unsound, so
+                # the kernel reports it; unchanged tiles skip the
+                # write-back entirely
+                owned_changed = jnp.any(
+                    v[PT : PT + TH, PL : PL + TW]
+                    != v0[PT : PT + TH, PL : PL + TW]
+                )
+                flag_ref[0, 0, 0] = owned_changed.astype(jnp.int32)
+
+                @pl.when(owned_changed)
+                def _():
+                    tilebuf[:, :] = v
+                    wr = pltpu.make_async_copy(
+                        tilebuf.at[pl.ds(PT, TH), pl.ds(PL, TW)],
+                        lab_out.at[n, pl.ds(y0 + PT, TH), pl.ds(x0 + PL, TW)],
+                        sem_w,
+                    )
+                    wr.start()
+                    wr.wait()
+
+        return kernel
+
+    def run_pass(lab, forward: bool):
+        def flag_index(n, i, j):
+            # one scalar row per grid step; (1, 1) trailing dims satisfy
+            # the Mosaic block-alignment rule ("equal to the array dims")
+            return ((n * gh + i) * gw + j, 0, 0)
+
+        return pl.pallas_call(
+            make_pass(forward),
+            grid=(N, gh, gw),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(lab.shape, jnp.int32),
+                jax.ShapeDtypeStruct((N * gh * gw, 1, 1), jnp.int32),
+            ],
+            input_output_aliases={0: 0},
+            scratch_shapes=[
+                pltpu.VMEM((SH, SW), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=_interpret(),
+        )(lab)
+
+    def body(state):
+        lab, _, rounds = state
+        lab, _flags_f = run_pass(lab, True)
+        lab, flags_b = run_pass(lab, False)
+        # a change-free backward pass means every tile is locally converged
+        # against its final halos — a global fixed point
+        changed = jnp.max(flags_b) > 0
+        return lab, changed, rounds + 1
+
+    def cond(state):
+        _, changed, rounds = state
+        return changed & (rounds < max_rounds)
+
+    lab, _, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True), 0))
+    out = lab[:, PT : PT + H, PL : PL + W]
+    out = jnp.where(m, out + 1, 0)
+    return out[0] if squeeze else out
