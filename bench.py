@@ -55,11 +55,28 @@ def make_clip(h, w, frames):
     return clip, plate
 
 
-def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=64):
+def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=64,
+              repeats=4):
     import jax
     import jax.numpy as jnp
 
-    from tpuva.graph.pipeline import init_carry, process_batch
+    from tpuva.graph.pipeline import (
+        _can_fuse,
+        init_carry,
+        process_batch,
+        process_batch_staged,
+    )
+
+    staged = _can_fuse(cfg) and jax.default_backend() == "tpu"
+
+    def run(carry, b):
+        if staged:
+            return process_batch_staged(
+                cfg, carry, b, max_components=max_components
+            )
+        return process_batch(
+            cfg, carry, b, parallel_bg=True, max_components=max_components
+        )
 
     T, H, W = clip.shape
     N = cfg.batch
@@ -70,18 +87,16 @@ def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=64):
     carry = init_carry(cfg, H, W, plate)
     # warm-up: compile + first batches
     for b in batches[:warmup_batches]:
-        carry, out = process_batch(
-            cfg, carry, b, parallel_bg=True, max_components=max_components
-        )
-    jax.block_until_ready(out["rows"])
+        carry, out = run(carry, b)
+    np.asarray(out["rows"])
     t0 = time.perf_counter()
     n_frames = 0
-    for b in batches[warmup_batches:]:
-        carry, out = process_batch(
-            cfg, carry, b, parallel_bg=True, max_components=max_components
-        )
-        n_frames += b.shape[0]
-    jax.block_until_ready(out["rows"])
+    for _ in range(repeats):
+        for b in batches[warmup_batches:]:
+            carry, out = run(carry, b)
+            n_frames += b.shape[0]
+    np.asarray(out["rows"])  # forced sync (block_until_ready can lie
+    # through the tunneled device)
     dt = time.perf_counter() - t0
     return n_frames / dt
 
@@ -111,8 +126,10 @@ def main():
     cfg = build_config()
     clip, plate = make_clip(args.height, args.width, frames)
 
-    fps_tpu = bench_tpu(clip, plate, cfg)
+    # CPU baseline first: the jax/TPU runtime's host threads depress cv2's
+    # multithreaded throughput ~3x if measured afterwards
     fps_cpu = bench_cpu(clip, plate, cfg, cpu_frames)
+    fps_tpu = bench_tpu(clip, plate, cfg)
 
     result = {
         "metric": f"full-pipeline throughput @{args.height}p",

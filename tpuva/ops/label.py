@@ -308,9 +308,11 @@ def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
     cum = jnp.cumsum(counts, axis=1)  # inclusive (N, Q)
     offs = cum - counts  # exclusive
     n_roots = cum[:, -1]
-    chunk_of_c = jax.vmap(
-        lambda cc: jnp.searchsorted(cc, cs, side="right")
-    )(cum).astype(jnp.int32)
+    # first chunk with cum > c, as a compare+sum (batched searchsorted
+    # compiles poorly; this is a tiny (N, Q, C) reduction)
+    chunk_of_c = jnp.sum(
+        cum[:, :, None] <= cs[None, None, :], axis=1, dtype=jnp.int32
+    )
     chunk_of_c = jnp.minimum(chunk_of_c, Q - 1)
     r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
 
