@@ -101,14 +101,17 @@ def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=64,
     return n_frames / dt
 
 
-def bench_cpu(clip, plate, cfg, n_frames=16):
+def bench_cpu(clip, plate, cfg, n_frames=16, trials=3):
     from refimpl.pipeline import run_pipeline
 
     sub = clip[:n_frames]
-    t0 = time.perf_counter()
-    run_pipeline(sub, cfg, background0=plate)
-    dt = time.perf_counter() - t0
-    return n_frames / dt
+    run_pipeline(sub[:4], cfg, background0=plate)  # warm caches
+    best = 0.0
+    for _ in range(trials):  # max over trials: the fairest baseline
+        t0 = time.perf_counter()
+        run_pipeline(sub, cfg, background0=plate)
+        best = max(best, n_frames / (time.perf_counter() - t0))
+    return best
 
 
 def main():
