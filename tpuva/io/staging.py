@@ -39,6 +39,7 @@ class BatchStager:
         queue_depth: int = 2,
         device=None,
         sharding=None,
+        use_native: bool = False,
     ):
         self._video = video
         self._batch = batch
@@ -47,8 +48,10 @@ class BatchStager:
         self._queue: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._error: Optional[BaseException] = None
         self._stop = threading.Event()
+        self._use_native = use_native
+        target = self._feeder_native if use_native else self._feeder
         self._thread = threading.Thread(
-            target=self._feeder, name="batch-stager", daemon=True
+            target=target, name="batch-stager", daemon=True
         )
         self._started = False
 
@@ -73,6 +76,45 @@ class BatchStager:
                 self._queue.put(_SENTINEL)
             except Exception:
                 pass
+
+    def _feeder_native(self):
+        """Three-stage native pipeline: a decode thread pushes frames into
+        the C++ ring buffer (native/batcher.cpp, batch assembly off the
+        GIL); this thread pops padded batches and stages them on device."""
+        from tpuva.io.native import NativeBatcher
+
+        v = self._video
+        shape = (v.height, v.width, 3) if v.is_color else (v.height, v.width)
+        ring = NativeBatcher(shape, self._batch, depth=2)
+
+        def decode():
+            try:
+                for frame in v:
+                    if self._stop.is_set():
+                        break
+                    ring.push(frame)
+            finally:
+                ring.close()
+
+        t = threading.Thread(target=decode, name="decoder", daemon=True)
+        t.start()
+        try:
+            while True:
+                n, stack = ring.pop()
+                if n == 0:
+                    break
+                if self._stop.is_set():
+                    return
+                self._queue.put((n, self._put_device(stack)))
+            self._queue.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 - relayed to consumer
+            self._error = e
+            try:
+                self._queue.put(_SENTINEL)
+            except Exception:
+                pass
+        finally:
+            t.join(timeout=5)
 
     def __iter__(self):
         if self._started:
