@@ -121,6 +121,11 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--cpu-frames", type=int, default=None)
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a jax.profiler trace of the TPU run into DIR "
+             "(SURVEY.md §5.1)",
+    )
     args = ap.parse_args()
 
     frames = args.frames or (96 if args.quick else 256)
@@ -132,7 +137,13 @@ def main():
     # CPU baseline first: the jax/TPU runtime's host threads depress cv2's
     # multithreaded throughput ~3x if measured afterwards
     fps_cpu = bench_cpu(clip, plate, cfg, cpu_frames)
-    fps_tpu = bench_tpu(clip, plate, cfg)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            fps_tpu = bench_tpu(clip, plate, cfg)
+    else:
+        fps_tpu = bench_tpu(clip, plate, cfg)
 
     result = {
         "metric": f"full-pipeline throughput @{args.height}p",

@@ -1,0 +1,110 @@
+"""Auxiliary-subsystem tests (SURVEY.md §5): determinism, staging-queue
+stress (the only racy component, §5.2), synthetic stream source, batch
+logging."""
+
+import io
+import json
+import time
+
+import numpy as np
+
+from refimpl.synthetic import moving_disk_clip
+from tpuva.export import write_tracks_hdf5
+from tpuva.graph.config import (
+    BackgroundConfig,
+    PipelineConfig,
+    SegmentConfig,
+    TrackConfig,
+)
+from tpuva.graph.pipeline import process_clip
+from tpuva.io import BatchStager, VideoMemory
+from tpuva.io.synthetic import SyntheticVideo
+from tpuva.utils import BatchLogger, display_progress
+
+CFG = PipelineConfig(
+    background=BackgroundConfig(alpha=0.03),
+    segment=SegmentConfig(threshold=40.0, min_area=20, max_blobs=4),
+    track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+    batch=8,
+)
+
+
+def test_determinism_identical_hdf5_bytes(tmp_path):
+    """Same input -> identical HDF5 bytes across independent runs
+    (SURVEY.md §4.2 determinism)."""
+    clip, _, plate = moving_disk_clip(h=96, w=128, frames=32, radius=8)
+    paths = []
+    for i in range(2):
+        rows, _, _ = process_clip(clip, CFG, background0=plate)
+        p = str(tmp_path / f"run{i}.h5")
+        write_tracks_hdf5(p, rows)
+        paths.append(p)
+    assert open(paths[0], "rb").read() == open(paths[1], "rb").read()
+
+
+def test_staging_queue_stress_slow_consumer():
+    """Decode faster than consume: queue depth must stay bounded and no
+    frame may be lost or reordered (SURVEY.md §5.2)."""
+    clip = np.arange(40, dtype=np.uint8)[:, None, None] * np.ones(
+        (40, 16, 16), np.uint8
+    )
+    stager = BatchStager(VideoMemory(clip), batch=4, queue_depth=2)
+    seen = []
+    for n, dev in stager:
+        time.sleep(0.01)  # slow consumer
+        assert stager.depth <= 2
+        seen.append(np.asarray(dev)[:n])
+    got = np.concatenate(seen)
+    np.testing.assert_array_equal(got, clip)
+
+
+def test_staging_error_propagates():
+    from tpuva.io import VideoBase
+
+    class Bad(VideoMemory):
+        # force the per-frame path (VideoMemory.iter_batches slices the
+        # array directly and would bypass get_frame)
+        iter_batches = VideoBase.iter_batches
+
+        def get_frame(self, index):
+            if index == 7:
+                raise IOError("boom")
+            return super().get_frame(index)
+
+    clip = np.zeros((12, 8, 8), np.uint8)
+    stager = BatchStager(Bad(clip), batch=4)
+    try:
+        for _ in stager:
+            pass
+        assert False, "expected IOError"
+    except IOError as e:
+        assert "boom" in str(e)
+
+
+def test_synthetic_video_random_access_consistency():
+    v = SyntheticVideo(h=60, w=80, frames=100, n_blobs=2, radius=6, seed=3)
+    f10 = v.get_frame(10)
+    seq = None
+    for i, f in enumerate(v):
+        if i == 10:
+            seq = f
+            break
+    np.testing.assert_array_equal(f10, seq)
+    # blobs stay in bounds over a long horizon
+    pos = v.positions(99_999 if v.frame_count > 99_999 else 99)
+    w, h = v.size
+    assert (pos[:, 0] > 0).all() and (pos[:, 0] < w).all()
+    assert (pos[:, 1] > 0).all() and (pos[:, 1] < h).all()
+
+
+def test_batch_logger_and_progress():
+    buf = io.StringIO()
+    log = BatchLogger(out=buf, every=0.0)
+    log.log(8, queue=2)
+    log.log(8, queue=1)
+    lines = [json.loads(x) for x in buf.getvalue().strip().splitlines()]
+    assert lines[-1]["frames"] == 16 and "fps" in lines[-1]
+    buf2 = io.StringIO()
+    out = list(display_progress(range(5), out=buf2, every=0.0))
+    assert out == list(range(5))
+    assert "5/5" in buf2.getvalue()

@@ -226,25 +226,6 @@ def relabel_dense(
     return (dense[0], count[0]) if squeeze else (dense, count)
 
 
-def _to_kspace(x: jnp.ndarray, connectivity: int) -> jnp.ndarray:
-    """(N, H, W) -> (N, S) reordered into the cv2 scan-key order K.
-
-    For 4-conn K is the linear index (a plain reshape). For 8-conn K is
-    block-major over 2x2 blocks — a space-to-depth reshape/transpose, NOT a
-    gather (gathers of full frames are the slowest thing on TPU)."""
-    N, H, W = x.shape
-    if connectivity == 4:
-        return x.reshape(N, H * W)
-    He, We = H + (H & 1), W + (W & 1)
-    if (He, We) != (H, W):
-        x = jnp.pad(x, ((0, 0), (0, He - H), (0, We - W)))
-    return (
-        x.reshape(N, He // 2, 2, We // 2, 2)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(N, He * We)
-    )
-
-
 @partial(
     jax.jit, static_argnames=("connectivity", "max_components", "chunk")
 )
@@ -344,78 +325,6 @@ def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
 
     valid = cs[None, :] < n_roots[:, None]
     table = jnp.where(valid, kval + 1, jnp.int32(sent + 2))
-    return table, n_roots
-
-
-def _root_table_old(root: jnp.ndarray, connectivity: int, max_components: int,
-                    chunk: int = 512):
-    """The first `max_components` root keys in cv2 id order, as an MXU-only
-    computation (no sort/top_k/gather/scatter/giant-cumsum):
-
-    1. root flags are reordered into K space (reshape/transpose);
-    2. each root's rank = # roots with smaller K = chunk offset (tiny
-       cumsum over per-chunk counts) + in-chunk prefix (a strict-upper-
-       triangular bf16 matmul — exact: 0/1 operands, f32 accumulation);
-    3. the table entry for rank c is recovered by contracting the rank
-       one-hot against static 6-bit limbs of the K index (each sum has
-       exactly one nonzero term, so it is exact by construction).
-
-    Returns (table (N, C) int32 of root-label values (K+1; sentinel S+2
-    where absent), n_roots (N,) int32 — the uncapped component count).
-    """
-    N, H, W = root.shape
-    kmap, _inv, sent = _scan_key(H, W, connectivity)
-    C = max_components
-    is_root = (root > 0) & (root == jnp.asarray(kmap)[None] + 1)
-    irk = _to_kspace(is_root, connectivity)  # (N, S) bool
-    S = irk.shape[1]
-    P = chunk
-    Sp = -(-S // P) * P
-    if Sp != S:
-        irk = jnp.pad(irk, ((0, 0), (0, Sp - S)))
-    Q = Sp // P
-    irk3 = irk.reshape(N, Q, P)
-    # in-chunk strict prefix counts as one flat (NQ, P) @ (P, P) matmul —
-    # the most compiler-friendly shape there is
-    strict_upper = jnp.asarray(
-        np.triu(np.ones((P, P), np.float32), 1), jnp.bfloat16
-    )
-    within = (
-        jnp.dot(
-            irk3.reshape(N * Q, P).astype(jnp.bfloat16),
-            strict_upper,
-            preferred_element_type=jnp.float32,
-        )
-        .astype(jnp.int32)
-        .reshape(N, Q, P)
-    )
-    counts = jnp.sum(irk3, axis=2, dtype=jnp.int32)  # (N, Q)
-    offs = jnp.concatenate(
-        [jnp.zeros((N, 1), jnp.int32), jnp.cumsum(counts, axis=1)[:, :-1]],
-        axis=1,
-    )
-    # The c-th root lives in the chunk whose offset range covers c: find it
-    # with a tiny per-frame searchsorted over chunk offsets, gather just
-    # that chunk (C x P elements — small), and locate the (c - offset)-th
-    # root inside it. No full-size one-hot anywhere.
-    cum = jnp.cumsum(counts, axis=1)  # inclusive (N, Q)
-    cs = jnp.arange(C, dtype=jnp.int32)
-    chunk_of_c = jax.vmap(
-        lambda cc: jnp.searchsorted(cc, cs, side="right")
-    )(cum).astype(jnp.int32)  # (N, C): first chunk with cum > c
-    chunk_of_c = jnp.minimum(chunk_of_c, Q - 1)
-    within_g = jnp.take_along_axis(
-        within, chunk_of_c[:, :, None], axis=1
-    )  # (N, C, P)
-    irk_g = jnp.take_along_axis(irk3, chunk_of_c[:, :, None], axis=1)
-    offs_g = jnp.take_along_axis(offs, chunk_of_c, axis=1)  # (N, C)
-    r_in_chunk = cs[None, :] - offs_g  # (N, C)
-    hit = irk_g & (within_g == r_in_chunk[:, :, None])  # (N, C, P)
-    pos = jnp.argmax(hit, axis=2).astype(jnp.int32)  # (N, C)
-    table = chunk_of_c * P + pos
-    n_roots = cum[:, -1]
-    valid = jnp.arange(C, dtype=jnp.int32)[None, :] < n_roots[:, None]
-    table = jnp.where(valid, table + 1, jnp.int32(S + 2))
     return table, n_roots
 
 
