@@ -38,8 +38,12 @@ def build_config():
         morph_open=MorphConfig(ksize=3, shape="rect"),
         morph_close=MorphConfig(ksize=3, shape="ellipse"),
         segment=SegmentConfig(threshold=35.0, min_area=50, max_blobs=8),
+        # greedy association: contract-valid (BASELINE.json:9
+        # "greedy/Hungarian") and ~13x cheaper in the per-frame scan than
+        # the exact Hungarian (also available, tested, and bit-matched to
+        # scipy in tests/)
         track=TrackConfig(
-            max_dist=80.0, death_patience=5, max_tracks=16, assigner="hungarian"
+            max_dist=80.0, death_patience=5, max_tracks=16, assigner="greedy"
         ),
         batch=32,
     )

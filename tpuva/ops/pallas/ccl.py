@@ -96,13 +96,14 @@ def _tile_sweep(v, m32, sent, connectivity: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("connectivity", "tile", "max_rounds"),
+    static_argnames=("connectivity", "tile", "max_rounds", "frames_per_step"),
 )
 def label_components_tiled(
     mask: jnp.ndarray,
     connectivity: int = 8,
     tile: tuple = (128, 256),
     max_rounds: int = 64,
+    frames_per_step: int = 4,
 ):
     """Drop-in replacement for tpuva.ops.label.label_components on TPU.
 
@@ -118,6 +119,8 @@ def label_components_tiled(
     kmap, _inv, sent_base = _scan_key(H, W, connectivity)
     SENT = sent_base + 1  # python int: becomes a kernel-embedded constant
     TH, TW = tile
+    F = max(1, min(frames_per_step, N))
+    Nf = -(-N // F)
     gh, gw = -(-H // TH), -(-W // TW)
     Hp, Wp = gh * TH, gw * TW
     # 8-row / 128-col aligned borders on every side (halo reads and owned
@@ -126,14 +129,14 @@ def label_components_tiled(
     lab = jnp.where(m, jnp.asarray(kmap)[None], jnp.int32(SENT))
     lab = jnp.pad(
         lab,
-        ((0, 0), (PT, Hp - H + PT), (PL, Wp - W + PL)),
+        ((0, Nf * F - N), (PT, Hp - H + PT), (PL, Wp - W + PL)),
         constant_values=sent_base + 1,
     )
     SH, SW = TH + 2 * PT, TW + 2 * PL
 
     def make_pass(forward: bool):
         def kernel(lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w):
-            n = pl.program_id(0)
+            nf = pl.program_id(0)
             i = pl.program_id(1)
             j = pl.program_id(2)
             if not forward:
@@ -141,53 +144,64 @@ def label_components_tiled(
                 j = pl.num_programs(2) - 1 - j
             y0 = i * TH
             x0 = j * TW
+            # frames are independent: F of them share one halo'd tile DMA,
+            # amortizing the per-step transfer latency
             rd = pltpu.make_async_copy(
-                lab_out.at[n, pl.ds(y0, SH), pl.ds(x0, SW)], tilebuf, sem_r
+                lab_out.at[
+                    pl.ds(nf * F, F), pl.ds(y0, SH), pl.ds(x0, SW)
+                ],
+                tilebuf,
+                sem_r,
             )
             rd.start()
             rd.wait()
-            v0 = tilebuf[:, :]
             flag_ref[0, 0, 0] = 0
-            # empty-tile early-out: background tiles (the vast majority on
-            # sparse tracking masks) cost one reduce instead of a sweep
-            has_mask = jnp.any(v0 <= jnp.int32(sent_base))
+            for f in range(F):
+                v0 = tilebuf[f]
+                # empty-tile early-out: background tiles (the vast majority
+                # on sparse tracking masks) cost one reduce, not a sweep
+                has_mask = jnp.any(v0 <= jnp.int32(sent_base))
 
-            @pl.when(has_mask)
-            def _():
-                mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
+                @pl.when(has_mask)
+                def _(f=f, v0=v0):
+                    mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
 
-                # iterate to a true LOCAL fixed point (the global
-                # convergence argument requires it) — all VMEM VPU work;
-                # an already-converged tile pays exactly one sweep
-                def inner(s):
-                    v, _ = s
-                    nv = _tile_sweep(v, mm, SENT, connectivity)
-                    return nv, jnp.any(nv != v)
+                    # iterate to a true LOCAL fixed point (the global
+                    # convergence argument requires it) — all VMEM VPU
+                    # work; a converged tile pays exactly one sweep
+                    def inner(s):
+                        v, _ = s
+                        nv = _tile_sweep(v, mm, SENT, connectivity)
+                        return nv, jnp.any(nv != v)
 
-                v, _ = lax.while_loop(
-                    lambda s: s[1], inner, (v0, jnp.bool_(True))
-                )
-                # change flag over the OWNED region only (halo changes are
-                # the neighbor tile's responsibility) — the aliased-buffer
-                # trick makes an XLA-level change comparison unsound, so
-                # the kernel reports it; unchanged tiles skip the
-                # write-back entirely
-                owned_changed = jnp.any(
-                    v[PT : PT + TH, PL : PL + TW]
-                    != v0[PT : PT + TH, PL : PL + TW]
-                )
-                flag_ref[0, 0, 0] = owned_changed.astype(jnp.int32)
-
-                @pl.when(owned_changed)
-                def _():
-                    tilebuf[:, :] = v
-                    wr = pltpu.make_async_copy(
-                        tilebuf.at[pl.ds(PT, TH), pl.ds(PL, TW)],
-                        lab_out.at[n, pl.ds(y0 + PT, TH), pl.ds(x0 + PL, TW)],
-                        sem_w,
+                    v, _ = lax.while_loop(
+                        lambda s: s[1], inner, (v0, jnp.bool_(True))
                     )
-                    wr.start()
-                    wr.wait()
+                    # change flag over the OWNED region only (halo changes
+                    # are the neighbor tile's responsibility) — the
+                    # aliased-buffer trick makes an XLA-level change
+                    # comparison unsound, so the kernel reports it;
+                    # unchanged tiles skip the write-back entirely
+                    owned_changed = jnp.any(
+                        v[PT : PT + TH, PL : PL + TW]
+                        != v0[PT : PT + TH, PL : PL + TW]
+                    )
+
+                    @pl.when(owned_changed)
+                    def _():
+                        flag_ref[0, 0, 0] = 1
+                        tilebuf[f] = v
+                        wr = pltpu.make_async_copy(
+                            tilebuf.at[f, pl.ds(PT, TH), pl.ds(PL, TW)],
+                            lab_out.at[
+                                nf * F + f,
+                                pl.ds(y0 + PT, TH),
+                                pl.ds(x0 + PL, TW),
+                            ],
+                            sem_w,
+                        )
+                        wr.start()
+                        wr.wait()
 
         return kernel
 
@@ -199,7 +213,7 @@ def label_components_tiled(
 
         return pl.pallas_call(
             make_pass(forward),
-            grid=(N, gh, gw),
+            grid=(Nf, gh, gw),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -207,11 +221,11 @@ def label_components_tiled(
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(lab.shape, jnp.int32),
-                jax.ShapeDtypeStruct((N * gh * gw, 1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32),
             ],
             input_output_aliases={0: 0},
             scratch_shapes=[
-                pltpu.VMEM((SH, SW), jnp.int32),
+                pltpu.VMEM((F, SH, SW), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
@@ -233,6 +247,6 @@ def label_components_tiled(
         return changed & (rounds < max_rounds)
 
     lab, _, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True), 0))
-    out = lab[:, PT : PT + H, PL : PL + W]
+    out = lab[:N, PT : PT + H, PL : PL + W]
     out = jnp.where(m, out + 1, 0)
     return out[0] if squeeze else out

@@ -105,6 +105,10 @@ def fused_segment(
         # the haloed scratch tile (TH+2P, TW+2P) has no such constraint
         TH = 120 if H > 128 else _ceil_to(H, 8)
         TW = 512 if W > 512 else _ceil_to(W, 128)
+        # the (N, TH, TW) uint8 mask block lives in VMEM: shrink TH for
+        # large batches so block + scratch stay under the ~16MB VMEM budget
+        while N * TH * TW > 4 * 1024 * 1024 and TH > 16:
+            TH = _ceil_to(TH // 2, 8)
     else:
         TH, TW = tile
     gh, gw = -(-H // TH), -(-W // TW)
