@@ -141,16 +141,17 @@ def _fused_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
 def _post_mask_stage(
     cfg: PipelineConfig,
     carry: "PipelineCarry",
-    root: jnp.ndarray,
     mask: jnp.ndarray,
     bg_last: jnp.ndarray,
     return_masks: bool = False,
     max_components: int = 64,
 ):
-    """Stats + detection extraction + tracker scan, given precomputed CCL
-    root labels (staged TPU path — see process_batch_staged)."""
+    """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
+    path — see process_batch_staged)."""
     from tpuva.ops.label import _stats_from_root
+    from tpuva.ops.pallas.ccl import label_components_tiled
 
+    root = label_components_tiled(mask)
     stats = _stats_from_root(
         root, max_components=max_components, compute_bbox=False,
         compute_labels=False,
@@ -207,19 +208,16 @@ def process_batch_staged(
     return_masks: bool = False,
     max_components: int = 64,
 ):
-    """TPU fast path: the three pipeline stages (Pallas fused mask, Pallas
-    tiled CCL, stats+tracker) as separate jitted dispatches.
+    """TPU fast path: the pipeline as two jitted dispatches (Pallas fused
+    mask kernel; then tiled CCL + stats + tracker).
 
     Dispatches chain asynchronously on device — the host never blocks
     between them — while keeping per-stage XLA programs small: compiling
-    all three into one program sends compile time superlinear (~200s+ vs
-    ~20s total for the stages)."""
-    from tpuva.ops.pallas.ccl import label_components_tiled
-
+    the fused mask kernel together with the CCL while-loop sends compile
+    time superlinear (~200s vs ~20s total for the stages)."""
     mask, bg_last = _fused_mask_stage(cfg, carry, frames)
-    root = label_components_tiled(mask)
     return _post_mask_stage(
-        cfg, carry, root, mask, bg_last,
+        cfg, carry, mask, bg_last,
         return_masks=return_masks, max_components=max_components,
     )
 
