@@ -59,8 +59,10 @@ def make_clip(h, w, frames):
     return clip, plate
 
 
-def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=64,
+def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=32,
               repeats=4):
+    # max_components=32: 4x headroom over the scene's ~7 components; the
+    # per-component one-hot contraction scales linearly with this capacity
     import jax
     import jax.numpy as jnp
 
