@@ -262,12 +262,14 @@ def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
         Wp = Qc * 256
         ir = jnp.pad(is_root, ((0, 0), (0, He - H), (0, Wp - W)))
         Q = Hb * Qc
-        counts = (
+        # strips as a contiguous (N, Q, 512) view: a mid-axis transpose
+        # (minor 256 dim untouched — the cheap kind on TPU), each strip =
+        # [row0 cols | row1 cols]
+        strips = (
             ir.reshape(N, Hb, 2, Qc, 256)
-            .sum(axis=(2, 4), dtype=jnp.int32)
-            .reshape(N, Q)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(N, Q, 512)
         )
-        flat = ir.reshape(N, He * Wp)
         # in-strip spatial order is (dr, dc); K order is
         # (block=dc//2)*4 + dr*2 + dc%2 — a static permutation
         dr = np.repeat(np.arange(2), 256)
@@ -275,16 +277,14 @@ def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
         kpos = (dc // 2) * 4 + dr * 2 + (dc % 2)
         perm = np.empty(512, np.int32)
         perm[kpos] = np.arange(512)  # spatial index producing K slot t
-        strip_len = 512
     else:
         Qc = -(-W // 512)
         Wp = Qc * 512
         ir = jnp.pad(is_root, ((0, 0), (0, 0), (0, Wp - W)))
         Q = H * Qc
-        counts = ir.reshape(N, Q, 512).sum(axis=2, dtype=jnp.int32)
-        flat = ir.reshape(N, H * Wp)
+        strips = ir.reshape(N, Q, 512)
         perm = np.arange(512, dtype=np.int32)
-        strip_len = 512
+    counts = strips.sum(axis=2, dtype=jnp.int32)
 
     cum = jnp.cumsum(counts, axis=1)  # inclusive (N, Q)
     offs = cum - counts  # exclusive
@@ -297,21 +297,11 @@ def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
     chunk_of_c = jnp.minimum(chunk_of_c, Q - 1)
     r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
 
-    # gather each target strip's flags (spatial order), small
-    if connectivity == 8:
-        qr = chunk_of_c // Qc
-        qc = chunk_of_c % Qc
-        base0 = (2 * qr)[:, :, None] * Wp + (256 * qc)[:, :, None]
-        sp_off = jnp.asarray(dr * Wp + dc, jnp.int32)[None, None, :]
-        idx = base0 + sp_off  # (N, C, 512) flat spatial indices
-    else:
-        qr = chunk_of_c // Qc
-        qc = chunk_of_c % Qc
-        base0 = qr[:, :, None] * Wp + (512 * qc)[:, :, None]
-        idx = base0 + jnp.arange(512, dtype=jnp.int32)[None, None, :]
-    strip = jnp.take_along_axis(
-        flat, idx.reshape(N, C * strip_len), axis=1
-    ).reshape(N, C, strip_len)
+    # gather each target strip (an axis-1 block gather of full 512-wide
+    # minor blocks — lowers efficiently, unlike flat per-element gathers)
+    qr = chunk_of_c // Qc
+    qc = chunk_of_c % Qc
+    strip = jnp.take_along_axis(strips, chunk_of_c[:, :, None], axis=1)
     strip_k = strip[:, :, jnp.asarray(perm)]  # K-slot order
     cumk = jnp.cumsum(strip_k.astype(jnp.int32), axis=2)
     pos = jnp.argmax(cumk > r_in_chunk[:, :, None], axis=2).astype(jnp.int32)

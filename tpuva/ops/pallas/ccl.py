@@ -156,10 +156,10 @@ def label_components_tiled(
             rd.start()
             rd.wait()
             flag_ref[0, 0, 0] = 0
-            for f in range(F):
+
+            def per_frame():
+              for f in range(F):
                 v0 = tilebuf[f]
-                # empty-tile early-out: background tiles (the vast majority
-                # on sparse tracking masks) cost one reduce, not a sweep
                 has_mask = jnp.any(v0 <= jnp.int32(sent_base))
 
                 @pl.when(has_mask)
@@ -202,6 +202,15 @@ def label_components_tiled(
                         )
                         wr.start()
                         wr.wait()
+
+            # block-level early-out: one reduce over all F frames replaces
+            # F per-frame sweeps when the whole spatial tile is background
+            # (the common case for sparse tracking masks)
+            any_mask = jnp.any(tilebuf[:, :, :] <= jnp.int32(sent_base))
+
+            @pl.when(any_mask)
+            def _():
+                per_frame()
 
         return kernel
 
