@@ -134,8 +134,22 @@ def label_components_tiled(
     )
     SH, SW = TH + 2 * PT, TW + 2 * PL
 
+    # per-(frame-group, tile) occupancy, computed once in XLA and
+    # scalar-prefetched into the kernel: empty tiles skip their DMA and
+    # sweep entirely (tiles with no mask pixels can never change)
+    mp = jnp.pad(m, ((0, Nf * F - N), (0, Hp - H), (0, Wp - W)))
+    # two small-window max-pools (a single (F, TH, TW) window blows the
+    # VMEM stack)
+    o1 = lax.reduce_window(
+        mp.astype(jnp.int32), jnp.int32(0), lax.max,
+        (1, 1, TW), (1, 1, TW), "VALID",
+    )  # (Nf*F, Hp, gw)
+    occ = lax.reduce_window(
+        o1, jnp.int32(0), lax.max, (F, TH, 1), (F, TH, 1), "VALID"
+    ).reshape(-1)  # (Nf * gh * gw,) in forward raster order
+
     def make_pass(forward: bool):
-        def kernel(lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w):
+        def kernel(occ_ref, lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w):
             nf = pl.program_id(0)
             i = pl.program_id(1)
             j = pl.program_id(2)
@@ -153,8 +167,6 @@ def label_components_tiled(
                 tilebuf,
                 sem_r,
             )
-            rd.start()
-            rd.wait()
             flag_ref[0, 0, 0] = 0
 
             def per_frame():
@@ -203,44 +215,51 @@ def label_components_tiled(
                         wr.start()
                         wr.wait()
 
-            # block-level early-out: one reduce over all F frames replaces
-            # F per-frame sweeps when the whole spatial tile is background
-            # (the common case for sparse tracking masks)
-            any_mask = jnp.any(tilebuf[:, :, :] <= jnp.int32(sent_base))
+            # occupancy early-out: empty tiles (precomputed in XLA, scalar
+            # prefetched) skip the DMA and all sweeps — they can never
+            # change
+            occupied = occ_ref[(nf * gh + i) * gw + j] != 0
 
-            @pl.when(any_mask)
+            @pl.when(occupied)
             def _():
+                rd.start()
+                rd.wait()
                 per_frame()
 
         return kernel
 
     def run_pass(lab, forward: bool):
-        def flag_index(n, i, j):
-            # one scalar row per grid step; (1, 1) trailing dims satisfy
-            # the Mosaic block-alignment rule ("equal to the array dims")
+        def flag_index(n, i, j, occ_ref):
+            # one scalar row per grid step ((1, 1) trailing dims satisfy
+            # the Mosaic block-alignment rule); index maps receive the
+            # scalar-prefetch ref as a trailing argument
             return ((n * gh + i) * gw + j, 0, 0)
 
-        return pl.pallas_call(
-            make_pass(forward),
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(Nf, gh, gw),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
             ],
-            out_shape=[
-                jax.ShapeDtypeStruct(lab.shape, jnp.int32),
-                jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32),
-            ],
-            input_output_aliases={0: 0},
             scratch_shapes=[
                 pltpu.VMEM((F, SH, SW), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
+        )
+        return pl.pallas_call(
+            make_pass(forward),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(lab.shape, jnp.int32),
+                jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32),
+            ],
+            input_output_aliases={1: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=_interpret(),
-        )(lab)
+        )(occ, lab)
 
     def body(state):
         lab, _, rounds = state
