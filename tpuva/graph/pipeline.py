@@ -136,7 +136,7 @@ def _fused_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "return_masks", "max_components"),
+    static_argnames=("cfg", "return_masks", "max_components", "sparse_strips"),
 )
 def _post_mask_stage(
     cfg: PipelineConfig,
@@ -145,20 +145,28 @@ def _post_mask_stage(
     bg_last: jnp.ndarray,
     return_masks: bool = False,
     max_components: int = 64,
+    sparse_strips: int = 256,
 ):
     """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
-    path — see process_batch_staged)."""
+    path — see process_batch_staged).
+
+    Stats use the sparse-strip contraction (capacity `sparse_strips` x 512
+    foreground pixels per frame); frames exceeding it are reported in
+    out["stats_overflow"] (their stats silently drop the excess strips —
+    raise the capacity if the workload is that dense)."""
     from tpuva.ops.label import _stats_from_root
     from tpuva.ops.pallas.ccl import label_components_tiled
 
     root = label_components_tiled(mask)
     stats = _stats_from_root(
         root, max_components=max_components, compute_bbox=False,
-        compute_labels=False,
+        compute_labels=False, sparse_strips=sparse_strips,
     )
-    return _finish_batch(
+    carry2, out = _finish_batch(
         cfg, carry, stats, mask, bg_last, return_masks
     )
+    out["stats_overflow"] = stats["overflow"]
+    return carry2, out
 
 
 def _finish_batch(cfg, carry, stats, mask, bg_last, return_masks):

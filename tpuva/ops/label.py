@@ -226,6 +226,43 @@ def relabel_dense(
     return (dense[0], count[0]) if squeeze else (dense, count)
 
 
+def _strip_view(x: jnp.ndarray, connectivity: int):
+    """(N, H, W) -> (N, Q, 512) contiguous "strips", each covering 512
+    consecutive scan-key (K) slots: a 2x256-pixel block-row segment for
+    8-conn, 512 pixels of one row for 4-conn. Built with a mid-axis
+    transpose only (the minor dim is untouched — the cheap kind on TPU).
+
+    Strip slot order is SPATIAL ([row0 cols | row1 cols] for 8-conn);
+    `perm` is the static permutation mapping K order -> spatial slot.
+    Returns (strips, Qc, Q, perm)."""
+    N, H, W = x.shape
+    if connectivity == 8:
+        Hb, Wb = (H + 1) // 2, (W + 1) // 2
+        He = 2 * Hb
+        Qc = -(-Wb // 128)  # strips per block-row
+        Wp = Qc * 256
+        xp = jnp.pad(x, ((0, 0), (0, He - H), (0, Wp - W)))
+        Q = Hb * Qc
+        strips = (
+            xp.reshape(N, Hb, 2, Qc, 256)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(N, Q, 512)
+        )
+        dr = np.repeat(np.arange(2), 256)
+        dc = np.tile(np.arange(256), 2)
+        kpos = (dc // 2) * 4 + dr * 2 + (dc % 2)
+        perm = np.empty(512, np.int32)
+        perm[kpos] = np.arange(512)  # spatial index producing K slot t
+    else:
+        Qc = -(-W // 512)
+        Wp = Qc * 512
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W)))
+        Q = H * Qc
+        strips = xp.reshape(N, Q, 512)
+        perm = np.arange(512, dtype=np.int32)
+    return strips, Qc, Q, perm
+
+
 @partial(
     jax.jit, static_argnames=("connectivity", "max_components", "chunk")
 )
@@ -255,35 +292,8 @@ def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
     is_root = (root > 0) & (root == jnp.asarray(kmap)[None] + 1)
     cs = jnp.arange(C, dtype=jnp.int32)
 
-    if connectivity == 8:
-        Hb, Wb = (H + 1) // 2, (W + 1) // 2
-        He = 2 * Hb
-        Qc = -(-Wb // 128)  # strips per block-row
-        Wp = Qc * 256
-        ir = jnp.pad(is_root, ((0, 0), (0, He - H), (0, Wp - W)))
-        Q = Hb * Qc
-        # strips as a contiguous (N, Q, 512) view: a mid-axis transpose
-        # (minor 256 dim untouched — the cheap kind on TPU), each strip =
-        # [row0 cols | row1 cols]
-        strips = (
-            ir.reshape(N, Hb, 2, Qc, 256)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(N, Q, 512)
-        )
-        # in-strip spatial order is (dr, dc); K order is
-        # (block=dc//2)*4 + dr*2 + dc%2 — a static permutation
-        dr = np.repeat(np.arange(2), 256)
-        dc = np.tile(np.arange(256), 2)
-        kpos = (dc // 2) * 4 + dr * 2 + (dc % 2)
-        perm = np.empty(512, np.int32)
-        perm[kpos] = np.arange(512)  # spatial index producing K slot t
-    else:
-        Qc = -(-W // 512)
-        Wp = Qc * 512
-        ir = jnp.pad(is_root, ((0, 0), (0, 0), (0, Wp - W)))
-        Q = H * Qc
-        strips = ir.reshape(N, Q, 512)
-        perm = np.arange(512, dtype=np.int32)
+    strips, Qc, Q, perm = _strip_view(is_root, connectivity)
+    Wb = (W + 1) // 2  # block columns (8-conn kval reconstruction)
     counts = strips.sum(axis=2, dtype=jnp.int32)
 
     cum = jnp.cumsum(counts, axis=1)  # inclusive (N, Q)
@@ -383,7 +393,8 @@ def connected_components_with_stats(
 @partial(
     jax.jit,
     static_argnames=(
-        "max_components", "connectivity", "compute_bbox", "compute_labels"
+        "max_components", "connectivity", "compute_bbox", "compute_labels",
+        "sparse_strips",
     ),
 )
 def _stats_from_root(
@@ -392,31 +403,81 @@ def _stats_from_root(
     connectivity: int = 8,
     compute_bbox: bool = True,
     compute_labels: bool = True,
+    sparse_strips: int = 0,
 ):
     """Stats assembly given precomputed root-key labels (see
-    connected_components_with_stats for the output contract)."""
+    connected_components_with_stats for the output contract).
+
+    sparse_strips > 0 (tracking-pipeline fast path; requires
+    compute_bbox=compute_labels=False): the one-hot payload contraction
+    runs only over the up-to-`sparse_strips` 512-pixel strips that contain
+    foreground, gathered into a compact array — typically 8-16x less work
+    than the dense contraction on sparse masks. If more strips are occupied
+    than the capacity, the extras are dropped and reported in the returned
+    "overflow" field (per frame; 0 = exact).
+    """
     N, H, W = root.shape
     C = max_components
     assert W < 2**18 and H < 2**18
     table, n_roots = _root_table(root, connectivity, C)
     count = jnp.minimum(n_roots, C)
+    overflow = jnp.zeros((N,), jnp.int32)
 
-    flat = root.reshape(N, H * W)
-    eq = (flat[:, :, None] == table[:, None, :]).astype(jnp.bfloat16)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (H * W, 1), 0)[:, 0]
-    x = lin % W
-    y = lin // W
-    payload = jnp.stack(
-        [
-            jnp.ones_like(x),
-            x & 63, (x >> 6) & 63, x >> 12,
-            y & 63, (y >> 6) & 63, y >> 12,
-        ],
-        axis=-1,
-    ).astype(jnp.bfloat16)  # (HW, 7)
-    sums = jnp.einsum(
-        "npc,pk->nck", eq, payload, preferred_element_type=jnp.float32
-    )  # (N, C, 7)
+    if sparse_strips and not compute_bbox and not compute_labels:
+        K = sparse_strips
+        rs, Qc, Q, _perm = _strip_view(root, connectivity)  # (N, Q, 512)
+        occ_strip = jnp.any(rs > 0, axis=2)  # (N, Q)
+        overflow = jnp.maximum(
+            occ_strip.sum(axis=1, dtype=jnp.int32) - K, 0
+        )
+        score = jnp.where(occ_strip, jnp.arange(Q, dtype=jnp.int32)[None], -1)
+        _v, idx = jax.lax.top_k(score, K)  # (N, K) strip ids, -1 pad
+        safe = jnp.maximum(idx, 0)
+        got = jnp.take_along_axis(rs, safe[:, :, None], axis=1)  # (N, K, 512)
+        got = jnp.where((idx >= 0)[:, :, None], got, 0)
+        # per-slot global coords reconstructed from the strip id
+        slot = jnp.arange(512, dtype=jnp.int32)[None, None, :]
+        if connectivity == 8:
+            qr = (safe // Qc)[:, :, None]
+            qc = (safe % Qc)[:, :, None]
+            y = 2 * qr + (slot >= 256).astype(jnp.int32)
+            x = qc * 256 + slot % 256
+        else:
+            y = jnp.broadcast_to((safe // Qc)[:, :, None], got.shape)
+            x = (safe % Qc)[:, :, None] * 512 + slot
+        eq = (
+            got.reshape(N, K * 512)[:, :, None]
+            == table[:, None, :]
+        ).astype(jnp.bfloat16)  # (N, K*512, C)
+        payload = jnp.stack(
+            [
+                jnp.ones_like(x),
+                x & 63, (x >> 6) & 63, x >> 12,
+                y & 63, (y >> 6) & 63, y >> 12,
+            ],
+            axis=-1,
+        ).reshape(N, K * 512, 7).astype(jnp.bfloat16)
+        sums = jnp.einsum(
+            "npc,npk->nck", eq, payload,
+            preferred_element_type=jnp.float32,
+        )  # (N, C, 7)
+    else:
+        flat = root.reshape(N, H * W)
+        eq = (flat[:, :, None] == table[:, None, :]).astype(jnp.bfloat16)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (H * W, 1), 0)[:, 0]
+        x = lin % W
+        y = lin // W
+        payload = jnp.stack(
+            [
+                jnp.ones_like(x),
+                x & 63, (x >> 6) & 63, x >> 12,
+                y & 63, (y >> 6) & 63, y >> 12,
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)  # (HW, 7)
+        sums = jnp.einsum(
+            "npc,pk->nck", eq, payload, preferred_element_type=jnp.float32
+        )  # (N, C, 7)
     area_c = sums[..., 0].astype(jnp.int32)
     sx_c = (
         sums[..., 1].astype(jnp.int32)
@@ -517,6 +578,7 @@ def _stats_from_root(
         "bbox": bbox,
         "centroid": centroid,
         "centroid_sum": csum,
+        "overflow": overflow,
     }
     return out
 
