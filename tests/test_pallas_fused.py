@@ -75,3 +75,43 @@ def test_fused_no_blur_no_morph():
     )
     np.testing.assert_array_equal(m_pls, m_jnp)
     assert r_pls == r_jnp
+
+
+def test_staged_path_matches_process_batch():
+    """process_batch_staged (the TPU production path: fused kernel + tiled
+    CCL + sparse-strip stats) must match the single-jit jnp path — run in
+    interpret mode on CPU so CI covers it."""
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import (
+        collect_rows,
+        init_carry,
+        process_batch,
+        process_batch_staged,
+    )
+
+    clip, _, plate = moving_disk_clip(
+        h=96, w=144, frames=16, radius=8, noise_sigma=2.0, seed=8
+    )
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.05),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        segment=SegmentConfig(threshold=35.0, min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    c1 = init_carry(cfg, 96, 144, plate)
+    c2 = init_carry(cfg, 96, 144, plate)
+    rows1, rows2 = [], []
+    for s in range(0, 16, 8):
+        b = jnp.asarray(clip[s : s + 8])
+        c1, o1 = process_batch(cfg, c1, b)
+        c2, o2 = process_batch_staged(cfg, c2, b)
+        rows1.extend(collect_rows(o1["rows"], o1["row_valid"],
+                                  row_sums=o1["row_sums"]))
+        rows2.extend(collect_rows(o2["rows"], o2["row_valid"],
+                                  row_sums=o2["row_sums"]))
+        assert int(np.asarray(o2["stats_overflow"]).max()) == 0
+    assert rows1 == rows2
+    np.testing.assert_array_equal(np.asarray(c1.bg), np.asarray(c2.bg))

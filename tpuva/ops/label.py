@@ -424,8 +424,8 @@ def _stats_from_root(
     overflow = jnp.zeros((N,), jnp.int32)
 
     if sparse_strips and not compute_bbox and not compute_labels:
-        K = sparse_strips
         rs, Qc, Q, _perm = _strip_view(root, connectivity)  # (N, Q, 512)
+        K = min(sparse_strips, Q)
         occ_strip = jnp.any(rs > 0, axis=2)  # (N, Q)
         overflow = jnp.maximum(
             occ_strip.sum(axis=1, dtype=jnp.int32) - K, 0
