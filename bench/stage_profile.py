@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Per-stage timing of the staged TPU pipeline at 1080p (dev tool).
+
+Times each dispatch of process_batch_staged separately, plus the
+sub-stages of the post-mask tail, to locate the throughput bottleneck
+(VERDICT round-1 weak #2). Not part of the driver contract.
+
+Timing discipline per CLAUDE.md: sync via a tiny np.asarray transfer
+(block_until_ready through the tunnel is unreliable); chain many batches
+between syncs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+
+def timeit(fn, args, iters=8, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_main",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench_main = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_main)
+    build_config, make_clip = bench_main.build_config, bench_main.make_clip
+    from tpuva.graph.pipeline import (
+        _finish_batch,
+        _fused_mask_stage,
+        _post_mask_stage,
+        init_carry,
+    )
+    from tpuva.ops.label import _root_table, _stats_from_root
+    from tpuva.ops.pallas.ccl import label_components_tiled
+
+    cfg = build_config()
+    H, W = 1080, 1920
+    clip, plate = make_clip(H, W, cfg.batch * 2)
+    carry = init_carry(cfg, H, W, plate)
+    frames = jnp.asarray(clip[cfg.batch : 2 * cfg.batch])
+    N = cfg.batch
+    MC = 32
+
+    dt, (mask, bg_last) = timeit(
+        lambda c, f: _fused_mask_stage(cfg, c, f), (carry, frames)
+    )
+    print(f"fused_mask_stage      : {dt*1e3:8.2f} ms/batch "
+          f"({N/dt:8.1f} fps)")
+
+    dt, root = timeit(lambda m: label_components_tiled(m), (mask,))
+    print(f"label_components_tiled: {dt*1e3:8.2f} ms/batch "
+          f"({N/dt:8.1f} fps)")
+
+    dt, _ = timeit(
+        lambda r: _root_table(r, 8, MC), (root,)
+    )
+    print(f"  _root_table         : {dt*1e3:8.2f} ms/batch")
+
+    dt, stats = timeit(
+        lambda r: _stats_from_root(
+            r, max_components=MC, compute_bbox=False, compute_labels=False,
+            sparse_strips=256,
+        ),
+        (root,),
+    )
+    print(f"_stats_from_root(sparse): {dt*1e3:6.2f} ms/batch")
+
+    fb = jax.jit(
+        lambda c, s, m, b: _finish_batch(cfg, c, s, m, b, False),
+        static_argnames=(),
+    )
+    dt, _ = timeit(fb, (carry, stats, mask, bg_last))
+    print(f"_finish_batch (tracker): {dt*1e3:7.2f} ms/batch")
+
+    dt, _ = timeit(
+        lambda c, m, b: _post_mask_stage(cfg, c, m, b, max_components=MC),
+        (carry, mask, bg_last),
+    )
+    print(f"post_mask_stage (all) : {dt*1e3:8.2f} ms/batch "
+          f"({N/dt:8.1f} fps)")
+
+    def full(c, f):
+        m, bl = _fused_mask_stage(cfg, c, f)
+        return _post_mask_stage(cfg, c, m, bl, max_components=MC)
+
+    dt, _ = timeit(full, (carry, frames))
+    print(f"full staged           : {dt*1e3:8.2f} ms/batch "
+          f"({N/dt:8.1f} fps)")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,80 +60,122 @@ def track_update(
     Exact-export note: rows carry the float32 centroid; the pipeline
     additionally forwards the detections' integer coordinate sums
     (extract_detections det_sums) so hosts can redo the centroid division
-    in float64, bit-identical to cv2."""
+    in float64, bit-identical to cv2.
+
+    Perf note: this step runs once per frame inside the device scan, so
+    its op count dominates tracker cost. Everything is expressed as
+    iota-compare selects, tiny reductions, and one-hot f32 matmuls — no
+    sort, no scatter, no searchsorted (each ~10x the cost of a fused
+    elementwise op at this size). Frames with zero detections take a
+    cheap age-and-reap branch via lax.cond."""
     T = state.pos.shape[0]
     D = dets.shape[0]
     INT_MAX = jnp.int32(2**31 - 1)
+    ti = jnp.arange(T, dtype=jnp.int32)
 
-    # ---- cost matrix in reference list order (active rows sorted by id)
-    dx = state.pos[:, 0:1] - dets[None, :, 0].reshape(1, D)
-    dy = state.pos[:, 1:2] - dets[None, :, 1].reshape(1, D)
-    cost = jnp.sqrt(dx * dx + dy * dy).reshape(T, D)
-    pairable = state.active[:, None] & det_valid[None, :]
-    cost = jnp.where(pairable, cost, BIG)
-    order = jnp.argsort(jnp.where(state.active, state.tid, INT_MAX))  # stable
-    cost_sorted = cost[order]
-    assign = hungarian_assign if assigner == "hungarian" else greedy_assign
-    row_for_det_sorted = assign(cost_sorted, max_dist)  # (D,) in sorted rows
-    slot_for_det = jnp.where(
-        row_for_det_sorted >= 0,
-        order[jnp.maximum(row_for_det_sorted, 0)],
-        -1,
-    ).astype(jnp.int32)
-    det_matched = slot_for_det >= 0
+    def update_with_dets(state: TrackState):
+        # ---- reference list order (active rows sorted by id): ids are
+        # unique among active slots, so a comparison-count rank replaces
+        # argsort; ordmat[r, i] == (slot i has rank r).
+        key = jnp.where(state.active, state.tid, INT_MAX)
+        before = (key[None, :] < key[:, None]) | (
+            (key[None, :] == key[:, None]) & (ti[None, :] < ti[:, None])
+        )
+        rank = jnp.sum(before, axis=1).astype(jnp.int32)  # (T,)
+        ordmat = rank[None, :] == ti[:, None]  # (T_sorted, T_slot)
+        order = jnp.argmax(ordmat, axis=1).astype(jnp.int32)
+        n_active = jnp.sum(state.active.astype(jnp.int32))
+        active_sorted = ti < n_active
+        pos_sorted = ordmat.astype(jnp.float32) @ state.pos  # exact 0/1 dot
 
-    # invert: detection index per slot (or -1)
-    det_for_slot = (
-        jnp.full((T,), -1, jnp.int32)
-        .at[jnp.where(det_matched, slot_for_det, T)]
-        .set(jnp.arange(D, dtype=jnp.int32), mode="drop")
+        # ---- cost matrix in sorted order
+        dx = pos_sorted[:, 0:1] - dets[None, :, 0].reshape(1, D)
+        dy = pos_sorted[:, 1:2] - dets[None, :, 1].reshape(1, D)
+        cost = jnp.sqrt(dx * dx + dy * dy).reshape(T, D)
+        pairable = active_sorted[:, None] & det_valid[None, :]
+        cost = jnp.where(pairable, cost, BIG)
+        assign = hungarian_assign if assigner == "hungarian" else greedy_assign
+        row_for_det_sorted = assign(cost, max_dist)  # (D,) in sorted rows
+        det_matched = row_for_det_sorted >= 0
+        slot_for_det = jnp.where(
+            det_matched, order[jnp.maximum(row_for_det_sorted, 0)], -1
+        ).astype(jnp.int32)
+
+        # ---- matched updates (eq2[t, j] == slot t matched detection j)
+        eq2 = (slot_for_det[None, :] == ti[:, None]) & det_matched[None, :]
+        slot_matched = jnp.any(eq2, axis=1)
+        matched_pos = eq2.astype(jnp.float32) @ dets[:, :2]
+        pos = jnp.where(slot_matched[:, None], matched_pos, state.pos)
+        missed = jnp.where(
+            slot_matched,
+            0,
+            jnp.where(state.active, state.missed + 1, state.missed),
+        )
+
+        # ---- deaths (free slots before births, like the reference's
+        # list compaction)
+        still = state.active & (missed < death_patience)
+
+        # ---- births: the r-th birthable detection takes the r-th free slot
+        birth_det = det_valid & ~det_matched
+        birth_rank = jnp.cumsum(birth_det.astype(jnp.int32))  # (D,) 1-based
+        free = ~still
+        free_rank = jnp.cumsum(free.astype(jnp.int32))  # (T,) 1-based
+        n_free = free_rank[-1] if T else jnp.int32(0)
+        can_birth = birth_det & (birth_rank <= n_free)
+        # first slot t with free_rank[t] >= birth_rank[j]
+        slot_for_birth = jnp.sum(
+            free_rank[None, :] < birth_rank[:, None], axis=1
+        ).astype(jnp.int32)
+        new_tid_for_det = jnp.where(
+            can_birth, state.next_id - 1 + birth_rank, 0
+        ).astype(jnp.int32)
+
+        bo = (slot_for_birth[None, :] == ti[:, None]) & can_birth[None, :]
+        has_b = jnp.any(bo, axis=1)
+        pos = jnp.where(
+            has_b[:, None], bo.astype(jnp.float32) @ dets[:, :2], pos
+        )
+        tid = jnp.where(still, state.tid, 0)
+        tid = jnp.where(
+            has_b,
+            jnp.sum(jnp.where(bo, new_tid_for_det[None, :], 0), axis=1),
+            tid,
+        )
+        # births land on non-still slots, whose missed is already zeroed
+        missed = jnp.where(still, missed, 0)
+        active = still | has_b
+        next_id = state.next_id + jnp.sum(can_birth.astype(jnp.int32))
+
+        new_state = TrackState(
+            pos=pos, tid=tid, missed=missed, active=active, next_id=next_id
+        )
+
+        # ---- trajectory rows, one per matched-or-birthed detection
+        row_tid = jnp.where(
+            det_matched,
+            jnp.sum(jnp.where(eq2, tid[:, None], 0), axis=0),
+            new_tid_for_det,
+        )
+        row_valid = det_matched | can_birth
+        return new_state, row_tid, row_valid
+
+    def update_no_dets(state: TrackState):
+        # age active tracks, reap deaths; no assignment, no births
+        missed = jnp.where(state.active, state.missed + 1, state.missed)
+        still = state.active & (missed < death_patience)
+        new_state = TrackState(
+            pos=state.pos,
+            tid=jnp.where(still, state.tid, 0),
+            missed=jnp.where(still, missed, 0),
+            active=still,
+            next_id=state.next_id,
+        )
+        return new_state, jnp.zeros((D,), jnp.int32), jnp.zeros((D,), bool)
+
+    new_state, row_tid, row_valid = jax.lax.cond(
+        jnp.any(det_valid), update_with_dets, update_no_dets, state
     )
-    slot_matched = det_for_slot >= 0
-    safe_det = jnp.maximum(det_for_slot, 0)
-
-    # ---- matched updates
-    pos = jnp.where(slot_matched[:, None], dets[safe_det, :2], state.pos)
-    missed = jnp.where(
-        slot_matched, 0, jnp.where(state.active, state.missed + 1, state.missed)
-    )
-
-    # ---- deaths (free slots before births, like the reference's compaction)
-    still = state.active & (missed < death_patience)
-
-    # ---- births
-    birth_det = det_valid & ~det_matched
-    birth_rank = jnp.cumsum(birth_det.astype(jnp.int32))  # (D,) 1-based
-    free = ~still
-    free_rank = jnp.cumsum(free.astype(jnp.int32))  # (T,) 1-based per slot
-    n_free = free_rank[-1] if T else jnp.int32(0)
-    can_birth = birth_det & (birth_rank <= n_free)
-    # the r-th birth goes to the first slot with free_rank == r
-    slot_for_birth = jnp.searchsorted(
-        free_rank, jnp.where(can_birth, birth_rank, T + 1)
-    ).astype(jnp.int32)
-    new_tid_for_det = jnp.where(
-        can_birth, state.next_id - 1 + birth_rank, 0
-    ).astype(jnp.int32)
-
-    bidx = jnp.where(can_birth, slot_for_birth, T)
-    darange = jnp.arange(D, dtype=jnp.int32)
-    pos = pos.at[bidx].set(dets[:, :2], mode="drop")
-    tid = state.tid
-    tid = jnp.where(still, tid, 0)
-    tid = tid.at[bidx].set(new_tid_for_det, mode="drop")
-    missed = jnp.where(still, missed, 0)
-    missed = missed.at[bidx].set(0, mode="drop")
-    active = still.at[bidx].set(True, mode="drop")
-    next_id = state.next_id + jnp.sum(can_birth.astype(jnp.int32))
-
-    new_state = TrackState(pos=pos, tid=tid, missed=missed, active=active,
-                           next_id=next_id)
-
-    # ---- trajectory rows, one per matched-or-birthed detection
-    row_tid = jnp.where(
-        det_matched, tid[jnp.maximum(slot_for_det, 0)], new_tid_for_det
-    )
-    row_valid = det_matched | can_birth
     rows = jnp.stack(
         [
             row_tid.astype(jnp.float32),
@@ -144,5 +186,4 @@ def track_update(
         ],
         axis=-1,
     )
-    del darange
     return new_state, rows, row_valid
