@@ -115,3 +115,31 @@ def test_staged_path_matches_process_batch():
         assert int(np.asarray(o2["stats_overflow"]).max()) == 0
     assert rows1 == rows2
     np.testing.assert_array_equal(np.asarray(c1.bg), np.asarray(c2.bg))
+
+
+def test_fused_with_median():
+    """Fused median (k=3, BORDER_REPLICATE via clamped reads) bit-matches
+    the jnp path, including image borders."""
+    from tpuva.graph.config import MedianConfig
+
+    clip, _, plate = moving_disk_clip(
+        h=72, w=104, frames=16, radius=7, noise_sigma=6.0, seed=11
+    )
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.05),
+        blur=BlurConfig(ksize=3, sigma=0.0),
+        median=MedianConfig(ksize=3),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        segment=SegmentConfig(threshold=30.0, min_area=15, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    r_jnp, c_jnp, m_jnp = process_clip(
+        clip, cfg, background0=plate, return_masks=True
+    )
+    r_pls, c_pls, m_pls = process_clip(
+        clip, cfg, background0=plate, return_masks=True, use_pallas=True
+    )
+    np.testing.assert_array_equal(m_pls, m_jnp)
+    assert r_pls == r_jnp
+    np.testing.assert_array_equal(np.asarray(c_pls.bg), np.asarray(c_jnp.bg))

@@ -104,9 +104,9 @@ def background_trajectory(
 
 
 def _can_fuse(cfg: PipelineConfig) -> bool:
-    """The Pallas fused front-end covers blur+bg+threshold+morph (no
-    median filter yet)."""
-    return cfg.median is None
+    """The Pallas fused front-end covers blur+median(k=3)+bg+threshold+
+    morph."""
+    return cfg.median is None or cfg.median.ksize in (1, 3)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -125,6 +125,9 @@ def _fused_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
         threshold=cfg.segment.threshold,
         blur_ksize=cfg.blur.ksize if cfg.blur else 0,
         blur_sigma=cfg.blur.sigma if cfg.blur else 0.0,
+        median_ksize=(
+            cfg.median.ksize if cfg.median and cfg.median.ksize > 1 else 0
+        ),
         open_shape=cfg.morph_open.shape if cfg.morph_open else "rect",
         open_ksize=cfg.morph_open.ksize if cfg.morph_open else 0,
         open_iters=cfg.morph_open.iterations if cfg.morph_open else 1,
@@ -157,7 +160,7 @@ def _post_mask_stage(
     from tpuva.ops.label import _stats_from_root
     from tpuva.ops.pallas.ccl import label_components_tiled
 
-    root = label_components_tiled(mask)
+    root, ccl_converged = label_components_tiled(mask, return_converged=True)
     stats = _stats_from_root(
         root, max_components=max_components, compute_bbox=False,
         compute_labels=False, sparse_strips=sparse_strips,
@@ -166,6 +169,7 @@ def _post_mask_stage(
         cfg, carry, stats, mask, bg_last, return_masks
     )
     out["stats_overflow"] = stats["overflow"]
+    out["ccl_converged"] = ccl_converged
     return carry2, out
 
 

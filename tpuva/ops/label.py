@@ -263,6 +263,80 @@ def _strip_view(x: jnp.ndarray, connectivity: int):
     return strips, Qc, Q, perm
 
 
+@lru_cache(maxsize=32)
+def _strip_keys(H: int, W: int, connectivity: int, Qc: int, Q: int):
+    """Static (Q, 512) int32 map: scan key K of every strip slot, in strip
+    SPATIAL order (see _strip_view). root == _strip_keys + 1 is the
+    root-flag test directly in strip space — no second full-image pass."""
+    _kmap, _inv, _sent = _scan_key(H, W, connectivity)
+    _, _, _, perm = _strip_view_meta(connectivity)
+    kofs = np.empty(512, np.int64)
+    kofs[perm] = np.arange(512)  # spatial slot -> K offset within strip
+    q = np.arange(Q, dtype=np.int64)
+    if connectivity == 8:
+        Wb = (W + 1) // 2
+        base = ((q // Qc) * Wb + (q % Qc) * 128) * 4
+    else:
+        base = (q // Qc) * W + (q % Qc) * 512
+    return (
+        (base[:, None] + kofs[None, :]).astype(np.int32),
+        base.astype(np.int32),
+        kofs.astype(np.int32),
+    )
+
+
+def _strip_view_meta(connectivity: int):
+    """The static 512-slot K-order permutation of _strip_view."""
+    if connectivity == 8:
+        dr = np.repeat(np.arange(2), 256)
+        dc = np.tile(np.arange(256), 2)
+        kpos = (dc // 2) * 4 + dr * 2 + (dc % 2)
+        perm = np.empty(512, np.int32)
+        perm[kpos] = np.arange(512)
+    else:
+        perm = np.arange(512, dtype=np.int32)
+    return None, None, None, perm
+
+
+def _root_table_strips(rs, Qc: int, Q: int, connectivity: int,
+                       max_components: int, H: int, W: int):
+    """_root_table computed from an existing strip view `rs` of the root
+    map — shares the single full-image pass with the sparse stats path.
+
+    Returns (table (N, C) int32, n_roots (N,) int32)."""
+    N = rs.shape[0]
+    _kmap, _inv, sent = _scan_key(H, W, connectivity)
+    C = max_components
+    cs = jnp.arange(C, dtype=jnp.int32)
+    keys, base, kofs = _strip_keys(H, W, connectivity, Qc, Q)
+    # root-flag test in strip space (fuses into the strip-read reduction)
+    is_root = rs == jnp.asarray(keys)[None] + 1  # (N, Q, 512)
+    counts = jnp.sum(is_root, axis=2, dtype=jnp.int32)  # (N, Q)
+    cum = jnp.cumsum(counts, axis=1)  # inclusive
+    offs = cum - counts
+    n_roots = cum[:, -1]
+    # first strip with cum > c (batched searchsorted compiles poorly; this
+    # is a small (N, Q, C) compare-reduce)
+    chunk_of_c = jnp.sum(
+        cum[:, :, None] <= cs[None, None, :], axis=1, dtype=jnp.int32
+    )
+    chunk_of_c = jnp.minimum(chunk_of_c, Q - 1)
+    r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
+    # gather only the C target strips (full 512-wide minor blocks)
+    strip_vals = jnp.take_along_axis(rs, chunk_of_c[:, :, None], axis=1)
+    kb = jnp.asarray(base)[chunk_of_c]  # (N, C) strip base keys
+    keyrow = kb[:, :, None] + jnp.asarray(kofs)[None, None, :]
+    flag = strip_vals == keyrow + 1  # (N, C, 512) root flags, spatial order
+    _, _, _, perm = _strip_view_meta(connectivity)
+    flag_k = flag[:, :, jnp.asarray(perm)]  # K-offset order
+    cumk = jnp.cumsum(flag_k.astype(jnp.int32), axis=2)
+    pos = jnp.argmax(cumk > r_in_chunk[:, :, None], axis=2).astype(jnp.int32)
+    kval = kb + pos
+    valid = cs[None, :] < n_roots[:, None]
+    table = jnp.where(valid, kval + 1, jnp.int32(sent + 2))
+    return table, n_roots
+
+
 @partial(
     jax.jit, static_argnames=("connectivity", "max_components", "chunk")
 )
@@ -419,12 +493,16 @@ def _stats_from_root(
     N, H, W = root.shape
     C = max_components
     assert W < 2**18 and H < 2**18
-    table, n_roots = _root_table(root, connectivity, C)
-    count = jnp.minimum(n_roots, C)
     overflow = jnp.zeros((N,), jnp.int32)
 
     if sparse_strips and not compute_bbox and not compute_labels:
+        # ONE strip view of the root map feeds the root table, the strip
+        # occupancy, and the sparse payload gather (the gen-1 layout built
+        # a second full-image strip view of the root-flag image here)
         rs, Qc, Q, _perm = _strip_view(root, connectivity)  # (N, Q, 512)
+        table, n_roots = _root_table_strips(
+            rs, Qc, Q, connectivity, C, H, W
+        )
         K = min(sparse_strips, Q)
         occ_strip = jnp.any(rs > 0, axis=2)  # (N, Q)
         overflow = jnp.maximum(
@@ -462,6 +540,7 @@ def _stats_from_root(
             preferred_element_type=jnp.float32,
         )  # (N, C, 7)
     else:
+        table, n_roots = _root_table(root, connectivity, C)
         flat = root.reshape(N, H * W)
         eq = (flat[:, :, None] == table[:, None, :]).astype(jnp.bfloat16)
         lin = jax.lax.broadcasted_iota(jnp.int32, (H * W, 1), 0)[:, 0]
@@ -478,6 +557,7 @@ def _stats_from_root(
         sums = jnp.einsum(
             "npc,pk->nck", eq, payload, preferred_element_type=jnp.float32
         )  # (N, C, 7)
+    count = jnp.minimum(n_roots, C)
     area_c = sums[..., 0].astype(jnp.int32)
     sx_c = (
         sums[..., 1].astype(jnp.int32)

@@ -1,5 +1,5 @@
 """Tiled-sequential connected-component label propagation in Pallas
-(SURVEY.md §7.3 "hardest kernel", second generation).
+(SURVEY.md §7.3 "hardest kernel", third generation).
 
 The XLA sweep loop (tpuva.ops.label.label_components) re-reads the whole
 frame ~50 times (4 directional prefix-doubling scans x log2(W) steps x
@@ -9,10 +9,32 @@ reads a halo that includes the tiles already UPDATED this pass, so labels
 propagate across the entire image in ONE forward + ONE backward pass —
 total HBM traffic ~2 read/write of the label map instead of ~50.
 
-Within a tile, propagation runs to (near) fixed point in VMEM via
+Third-generation changes (round 2):
+- The first forward pass reads the raw uint8 MASK tile and initializes
+  labels (scan keys from in-kernel iota) directly in VMEM — the XLA
+  where/pad prologue that materialized the padded int32 label map twice
+  (~2 extra full-image passes, the single biggest cost of gen 2) is gone;
+  the label buffer starts as a constant SENT fill.
+- Tile occupancy is computed on uint8 (no int32 mask materialization).
+- Sweeps consume only a 1-pixel halo (deeper halo pixels are treated as
+  background). Sound: labels only decrease monotonically toward the
+  component min and propagation respects mask runs, so a stale or absent
+  halo can never produce a wrong label — only a slower one; 1 px is the
+  full adjacency requirement.
+- A tile's change flag is raised only when its 1-pixel border RING
+  changed — interior-only changes cannot affect any neighbor. Later
+  passes process only the FRONTIER: occupied tiles with a ring-changed
+  8-neighbor. For the common scene (blobs interior to tiles) the frontier
+  after pass 1 is empty and labeling costs exactly ONE pass.
+- The loop exposes a convergence flag (`return_converged`) so callers can
+  surface pathological non-convergence instead of silently truncating.
+
+Within a tile, propagation runs to a true local fixed point in VMEM via
 neighbor-min + segmented prefix-doubling scans — pure VPU work, no HBM
-traffic. A global XLA while_loop re-runs fwd+bwd until no pixel changes
-(pathological multi-tile spirals need extra rounds; blobs converge in one).
+traffic. Passes alternate forward/backward until the frontier empties;
+an empty frontier means no tile has a ring-changed neighbor since its
+last sweep, hence every tile is locally converged against final halos —
+a global fixed point (wavefront argument).
 
 Label convention inside the pass: int32 scan-key K for mask pixels,
 SENT (> any K) for background — identical to tpuva.ops.label, so results
@@ -78,7 +100,9 @@ def _seg_min_scan_tile(v, m32, axis: int, sent, reverse: bool,
     return v
 
 
-def _tile_sweep(v, m32, sent, connectivity: int, max_run: int = 0):
+def _nb_min(v, m32, sent, connectivity: int):
+    """One restricted neighbor-min step: mask pixels take the min over
+    their (self + connectivity) neighborhood; background holds sent."""
     if connectivity == 8:
         # separable 3x3 min: colmin(rowmin(v)) — 4 shifts instead of ~12
         r = jnp.minimum(
@@ -98,7 +122,11 @@ def _tile_sweep(v, m32, sent, connectivity: int, max_run: int = 0):
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             s = _shift_fill(v, dy, 0, sent) if dx == 0 else _shift_fill(v, dx, 1, sent)
             nb = jnp.minimum(nb, s)
-    v = jnp.where(m32 != 0, jnp.minimum(v, nb), sent)
+    return jnp.where(m32 != 0, jnp.minimum(v, nb), sent)
+
+
+def _tile_sweep(v, m32, sent, connectivity: int, max_run: int = 0):
+    v = _nb_min(v, m32, sent, connectivity)
     v = _seg_min_scan_tile(v, m32, 1, sent, False, max_run)
     v = _seg_min_scan_tile(v, m32, 1, sent, True, max_run)
     v = _seg_min_scan_tile(v, m32, 0, sent, False, max_run)
@@ -109,30 +137,36 @@ def _tile_sweep(v, m32, sent, connectivity: int, max_run: int = 0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "connectivity", "tile", "max_rounds", "frames_per_step", "max_run"
+        "connectivity", "tile", "max_rounds", "frames_per_step", "max_run",
+        "return_converged",
     ),
 )
 def label_components_tiled(
     mask: jnp.ndarray,
     connectivity: int = 8,
-    tile: tuple = (128, 256),
+    tile: tuple = (64, 256),
     max_rounds: int = 64,
     frames_per_step: int = 4,
     max_run: int = 128,
+    return_converged: bool = False,
 ):
     """Drop-in replacement for tpuva.ops.label.label_components on TPU.
 
-    mask: (N, H, W) (or (H, W)); returns int32 root-key labels (min scan
-    key + 1 per component, 0 background) — bit-identical to
-    label_components.
+    mask: (N, H, W) (or (H, W)) uint8/bool; returns int32 root-key labels
+    (min scan key + 1 per component, 0 background) — bit-identical to
+    label_components. With return_converged=True returns (labels,
+    converged ()-bool); converged=False means max_rounds was exhausted
+    with changes still flowing (pathological multi-tile spirals) and
+    labels may be split.
     """
     squeeze = mask.ndim == 2
     if squeeze:
         mask = mask[None]
-    m = mask > 0
-    N, H, W = m.shape
-    kmap, _inv, sent_base = _scan_key(H, W, connectivity)
+    mu8 = mask if mask.dtype == jnp.uint8 else (mask != 0).astype(jnp.uint8)
+    N, H, W = mu8.shape
+    _kmap, _inv, sent_base = _scan_key(H, W, connectivity)
     SENT = sent_base + 1  # python int: becomes a kernel-embedded constant
+    Wb = (W + 1) // 2  # block columns of the 8-conn scan-key bijection
     TH, TW = tile
     F = max(1, min(frames_per_step, N))
     Nf = -(-N // F)
@@ -141,30 +175,35 @@ def label_components_tiled(
     # 8-row / 128-col aligned borders on every side (halo reads and owned
     # writes all stay (8,128)-aligned), plus cover padding to the tile grid
     PT, PL = 8, 128
-    lab = jnp.where(m, jnp.asarray(kmap)[None], jnp.int32(SENT))
-    lab = jnp.pad(
-        lab,
-        ((0, Nf * F - N), (PT, Hp - H + PT), (PL, Wp - W + PL)),
-        constant_values=sent_base + 1,
-    )
     SH, SW = TH + 2 * PT, TW + 2 * PL
 
-    # per-(frame-group, tile) occupancy, computed once in XLA and
+    mp = jnp.pad(mu8, ((0, Nf * F - N), (0, Hp - H), (0, Wp - W)))
+
+    # per-(frame-group, tile) occupancy, computed once in XLA on uint8 and
     # scalar-prefetched into the kernel: empty tiles skip their DMA and
-    # sweep entirely (tiles with no mask pixels can never change)
-    mp = jnp.pad(m, ((0, Nf * F - N), (0, Hp - H), (0, Wp - W)))
-    # two small-window max-pools (a single (F, TH, TW) window blows the
-    # VMEM stack)
+    # sweep entirely (tiles with no mask pixels can never change). Two
+    # small-window max-pools (a single (F, TH, TW) window blows the VMEM
+    # stack).
     o1 = lax.reduce_window(
-        mp.astype(jnp.int32), jnp.int32(0), lax.max,
-        (1, 1, TW), (1, 1, TW), "VALID",
+        mp, jnp.uint8(0), lax.max, (1, 1, TW), (1, 1, TW), "VALID"
     )  # (Nf*F, Hp, gw)
     occ = lax.reduce_window(
-        o1, jnp.int32(0), lax.max, (F, TH, 1), (F, TH, 1), "VALID"
-    ).reshape(-1)  # (Nf * gh * gw,) in forward raster order
+        o1, jnp.uint8(0), lax.max, (F, TH, 1), (F, TH, 1), "VALID"
+    ).reshape(-1).astype(jnp.int32)  # (Nf * gh * gw,) forward raster order
 
-    def make_pass(forward: bool):
-        def kernel(occ_ref, lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w):
+    # label buffer starts as a pure SENT fill; the first pass writes real
+    # labels into occupied tiles (mask-init in VMEM), empty tiles stay SENT
+    lab0 = jnp.full(
+        (Nf * F, Hp + 2 * PT, Wp + 2 * PL), jnp.int32(SENT), jnp.int32
+    )
+
+    def make_pass(forward: bool, first: bool):
+        def kernel(occ_ref, *refs):
+            if first:
+                (msk_in, lab_in, lab_out, flag_ref,
+                 tilebuf, mskbuf, sem_r, sem_m, sem_w) = refs
+            else:
+                lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w = refs
             nf = pl.program_id(0)
             i = pl.program_id(1)
             j = pl.program_id(2)
@@ -184,112 +223,246 @@ def label_components_tiled(
             )
             flag_ref[0, 0, 0] = 0
 
-            def per_frame():
-              for f in range(F):
-                v0 = tilebuf[f]
-                has_mask = jnp.any(v0 <= jnp.int32(sent_base))
+            # sweep window: owned region + 1-pixel halo (DMA alignment
+            # forces the (PT, PL) margins, but only 1 px of them is USED —
+            # this is what makes the 1-px ring flag sufficient)
+            hy = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 0)
+            hx = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 1)
+            valid = (
+                (hy >= PT - 1) & (hy < PT + TH + 1)
+                & (hx >= PL - 1) & (hx < PL + TW + 1)
+            )
+            # 1-px border ring of the owned region (halo-visible pixels)
+            on_ring = (
+                (hy == PT) | (hy == PT + TH - 1)
+                | (hx == PL) | (hx == PL + TW - 1)
+            ) & (
+                (hy >= PT) & (hy < PT + TH) & (hx >= PL) & (hx < PL + TW)
+            )
 
-                @pl.when(has_mask)
-                def _(f=f, v0=v0):
-                    mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
+            def sweep_to_fixed_point(v0, mm, precheck: bool):
+                # iterate to a true LOCAL fixed point (the global
+                # convergence argument requires it) — all VMEM VPU work.
+                # Fixed-point test: v is final iff the restricted
+                # neighbor-min changes nothing (then v is constant on each
+                # connected region, so the run scans can't lower it either)
+                # — ~8 ops instead of a full ~100-op confirm sweep, and
+                # with precheck an already-converged tile pays only that.
+                def check(v):
+                    return jnp.any(_nb_min(v, mm, SENT, connectivity) != v)
 
-                    # iterate to a true LOCAL fixed point (the global
-                    # convergence argument requires it) — all VMEM VPU
-                    # work; a converged tile pays exactly one sweep
-                    def inner(s):
-                        v, _ = s
-                        nv = _tile_sweep(v, mm, SENT, connectivity, max_run)
-                        return nv, jnp.any(nv != v)
+                def inner(s):
+                    v, _ = s
+                    nv = _tile_sweep(v, mm, SENT, connectivity, max_run)
+                    return nv, check(nv)
 
-                    v, _ = lax.while_loop(
-                        lambda s: s[1], inner, (v0, jnp.bool_(True))
-                    )
-                    # change flag over the OWNED region only (halo changes
-                    # are the neighbor tile's responsibility) — the
-                    # aliased-buffer trick makes an XLA-level change
-                    # comparison unsound, so the kernel reports it;
-                    # unchanged tiles skip the write-back entirely
-                    owned_changed = jnp.any(
-                        v[PT : PT + TH, PL : PL + TW]
-                        != v0[PT : PT + TH, PL : PL + TW]
-                    )
+                ch0 = check(v0) if precheck else jnp.bool_(True)
+                v, _ = lax.while_loop(lambda s: s[1], inner, (v0, ch0))
+                return v
 
-                    @pl.when(owned_changed)
-                    def _():
-                        flag_ref[0, 0, 0] = 1
-                        tilebuf[f] = v
-                        wr = pltpu.make_async_copy(
-                            tilebuf.at[f, pl.ds(PT, TH), pl.ds(PL, TW)],
-                            lab_out.at[
-                                nf * F + f,
-                                pl.ds(y0 + PT, TH),
-                                pl.ds(x0 + PL, TW),
-                            ],
-                            sem_w,
+            def write_owned(f):
+                wr = pltpu.make_async_copy(
+                    tilebuf.at[f, pl.ds(PT, TH), pl.ds(PL, TW)],
+                    lab_out.at[
+                        nf * F + f,
+                        pl.ds(y0 + PT, TH),
+                        pl.ds(x0 + PL, TW),
+                    ],
+                    sem_w,
+                )
+                wr.start()
+                wr.wait()
+
+            def per_frame_first():
+                for f in range(F):
+                    # int32 reduction: Mosaic can't relayout a reduced
+                    # (TH, TW) i1 vector
+                    mi = mskbuf[f].astype(jnp.int32)
+                    has_mask = jnp.max(mi) > 0
+
+                    @pl.when(has_mask)
+                    def _(f=f, mi=mi):
+                        # scan-key init from in-kernel iota (image coords)
+                        rr = jax.lax.broadcasted_iota(
+                            jnp.int32, (TH, TW), 0
+                        ) + y0
+                        cc = jax.lax.broadcasted_iota(
+                            jnp.int32, (TH, TW), 1
+                        ) + x0
+                        if connectivity == 8:
+                            key = (
+                                ((rr >> 1) * Wb + (cc >> 1)) * 4
+                                + (rr & 1) * 2 + (cc & 1)
+                            )
+                        else:
+                            key = rr * W + cc
+                        tilebuf[f, PT:PT + TH, PL:PL + TW] = jnp.where(
+                            mi != 0, key, jnp.int32(SENT)
                         )
-                        wr.start()
-                        wr.wait()
+                        v0 = jnp.where(valid, tilebuf[f], jnp.int32(SENT))
+                        mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
+                        v = sweep_to_fixed_point(v0, mm, precheck=False)
+                        # flag only if the RING carries mask pixels —
+                        # interior-only components can't affect neighbors
+                        ring_mask = jnp.max(
+                            jnp.where(on_ring & (v0 <= jnp.int32(sent_base)),
+                                      1, 0)
+                        )
+                        @pl.when(ring_mask > 0)
+                        def _():
+                            flag_ref[0, 0, 0] = 1
+                        tilebuf[f] = v
+                        write_owned(f)
 
-            # occupancy early-out: empty tiles (precomputed in XLA, scalar
-            # prefetched) skip the DMA and all sweeps — they can never
-            # change
+            def per_frame_later():
+                for f in range(F):
+                    raw = tilebuf[f]
+                    v0 = jnp.where(valid, raw, jnp.int32(SENT))
+                    has_mask = jnp.any(v0 <= jnp.int32(sent_base))
+
+                    @pl.when(has_mask)
+                    def _(f=f, raw=raw, v0=v0):
+                        mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
+                        v = sweep_to_fixed_point(v0, mm, precheck=True)
+                        # the aliased-buffer trick makes an XLA-level change
+                        # comparison unsound, so the kernel reports changes;
+                        # unchanged tiles skip the write-back entirely, and
+                        # the FLAG is raised only for ring changes (all a
+                        # neighbor's sweep can see)
+                        diff = (v != v0) & valid
+                        owned_changed = jnp.any(
+                            diff[PT:PT + TH, PL:PL + TW]
+                        )
+                        ring_changed = jnp.max(
+                            jnp.where(on_ring & diff, 1, 0)
+                        )
+
+                        @pl.when(owned_changed)
+                        def _():
+                            @pl.when(ring_changed > 0)
+                            def _():
+                                flag_ref[0, 0, 0] = 1
+                            # halo cols of `v` hold masked-out SENT; write
+                            # back the owned region only (write_owned reads
+                            # tilebuf interior, which `v` fully covers)
+                            tilebuf[f] = v
+                            write_owned(f)
+
+            # occupancy/frontier early-out (precomputed in XLA, scalar
+            # prefetched): skipped tiles pay no DMA and no sweep
             occupied = occ_ref[(nf * gh + i) * gw + j] != 0
 
             @pl.when(occupied)
             def _():
                 rd.start()
-                rd.wait()
-                per_frame()
+                if first:
+                    md = pltpu.make_async_copy(
+                        msk_in.at[
+                            pl.ds(nf * F, F), pl.ds(y0, TH), pl.ds(x0, TW)
+                        ],
+                        mskbuf,
+                        sem_m,
+                    )
+                    md.start()
+                    rd.wait()
+                    md.wait()
+                    per_frame_first()
+                else:
+                    rd.wait()
+                    per_frame_later()
 
         return kernel
 
-    def run_pass(lab, forward: bool):
-        def flag_index(n, i, j, occ_ref):
-            # one scalar row per grid step ((1, 1) trailing dims satisfy
-            # the Mosaic block-alignment rule); index maps receive the
-            # scalar-prefetch ref as a trailing argument
-            return ((n * gh + i) * gw + j, 0, 0)
+    def flag_index(n, i, j, occ_ref):
+        # one scalar row per grid step ((1, 1) trailing dims satisfy the
+        # Mosaic block-alignment rule); index maps receive the
+        # scalar-prefetch ref as a trailing argument
+        return ((n * gh + i) * gw + j, 0, 0)
 
+    def run_pass(lab, forward: bool, first: bool, occ_eff):
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        inputs = [occ_eff]
+        if first:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ]
+            inputs = [occ_eff, mp]
+        scratch = [pltpu.VMEM((F, SH, SW), jnp.int32)]
+        if first:
+            scratch.append(pltpu.VMEM((F, TH, TW), jnp.uint8))
+            scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Nf, gh, gw),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((F, SH, SW), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=scratch,
         )
+        alias_from = 2 if first else 1  # args shift by the prefetch operand
         return pl.pallas_call(
-            make_pass(forward),
+            make_pass(forward, first),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(lab.shape, jnp.int32),
                 jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32),
             ],
-            input_output_aliases={1: 0},
+            input_output_aliases={alias_from: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=_interpret(),
-        )(occ, lab)
+        )(*inputs, lab)
 
-    def body(state):
-        lab, _, rounds = state
-        lab, _flags_f = run_pass(lab, True)
-        lab, flags_b = run_pass(lab, False)
-        # a change-free backward pass means every tile is locally converged
-        # against its final halos — a global fixed point
-        changed = jnp.max(flags_b) > 0
-        return lab, changed, rounds + 1
+    occ3 = occ.reshape(Nf, gh, gw)
+
+    def frontier(flags):
+        """Tiles to process next pass: occupied tiles with a ring-changed
+        8-neighbor. The changed tile itself is locally converged (its
+        sweep ran to a fixed point) so the CENTER is excluded; frames
+        don't interact."""
+        f3 = flags.reshape(Nf, gh, gw)
+        fp = jnp.pad(f3, ((0, 0), (1, 1), (1, 1)))
+        nb = jnp.zeros_like(f3)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = jnp.maximum(
+                    nb, fp[:, 1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
+                )
+        return (jnp.minimum(nb, 1) * occ3).reshape(-1)
+
+    # pass 1: forward, labels initialized from the mask in VMEM
+    lab, flags = run_pass(lab0, True, True, occ)
+    fr = frontier(flags.reshape(-1))
 
     def cond(state):
-        _, changed, rounds = state
-        return changed & (rounds < max_rounds)
+        _lab, fr, _fwd, passes = state
+        return (jnp.max(fr) > 0) & (passes < 2 * max_rounds)
 
-    lab, _, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True), 0))
-    out = lab[:N, PT : PT + H, PL : PL + W]
+    def body(state):
+        lab, fr, fwd, passes = state
+        lab, flags = lax.cond(
+            fwd,
+            lambda l, f: run_pass(l, True, False, f),
+            lambda l, f: run_pass(l, False, False, f),
+            lab, fr,
+        )
+        return lab, frontier(flags.reshape(-1)), ~fwd, passes + 1
+
+    lab, fr, _, _ = lax.while_loop(
+        cond, body, (lab, fr, jnp.bool_(False), jnp.int32(1))
+    )
+    converged = jnp.max(fr) == 0
+
+    m = mu8 != 0
+    out = lab[:N, PT:PT + H, PL:PL + W]
     out = jnp.where(m, out + 1, 0)
-    return out[0] if squeeze else out
+    out = out[0] if squeeze else out
+    if return_converged:
+        return out, converged
+    return out

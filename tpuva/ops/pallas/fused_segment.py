@@ -13,16 +13,28 @@ Correctness contract (same as the jnp ops, golden-tested):
 - Gaussian blur: cv2 kernels (tpuva.ops.gaussian_kernel_1d), REFLECT_101
   borders — realized by pre-padding the batch once in XLA and computing on
   reflected halo pixels.
+- median (k=3 only): cv2.medianBlur BORDER_REPLICATE semantics — shifted
+  reads are clamped to the image rectangle via global-coordinate selects
+  (replicate = read at clamped coordinate), then the exact 19-op
+  median-of-9 network (order statistic: any correct network is bit-equal).
 - background: B <- (1-alpha) B + alpha F, float32, sequential over frames.
 - threshold: strict |F - B| > thr.
 - morphology open/close: cv2 constant-border semantics (erode treats
   outside-image as foreground, dilate as background), enforced in-kernel
-  with global-coordinate masks.
+  with global-coordinate masks. Structuring elements are applied as
+  per-row contiguous runs (true for cv2 RECT and ELLIPSE rasterizations):
+  one shared row-reduction per distinct run extent + one roll per SE row —
+  ~2k ops instead of k² for rects.
 
-Halo math: a tile is computed with P = blur_radius + morph_reach extra
-pixels on every side; per-frame circular rolls contaminate at most
-blur_radius edge pixels, and each morphology step consumes one more halo
-ring, so the owned region is exact (see `_halo`).
+VPU-op economy (this stage is compute-bound, not HBM-bound): frames with
+no pixel above threshold in the tile skip morphology entirely and write a
+zero mask — exact, because open/close of an all-zero tile is zero under
+cv2 border rules.
+
+Halo math: a tile is computed with P = blur_radius + median_radius +
+morph_reach extra pixels on every side; per-frame circular rolls
+contaminate at most (blur_radius + median_radius) edge pixels, and each
+morphology step consumes one more halo ring, so the owned region is exact.
 """
 
 from __future__ import annotations
@@ -36,18 +48,21 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuva.ops.filters import gaussian_kernel_1d, structuring_element
+from tpuva.ops.filters import _median9, gaussian_kernel_1d, structuring_element
 
 
-def _se_offsets(shape: str, ksize: int):
+def _se_rows(shape: str, ksize: int):
+    """SE as per-row contiguous runs: ((dy, dx_lo, dx_hi), ...)."""
     se = structuring_element(shape, ksize)
     r = ksize // 2
-    return tuple(
-        (dy - r, dx - r)
-        for dy in range(ksize)
-        for dx in range(ksize)
-        if se[dy, dx]
-    )
+    rows = []
+    for dy in range(ksize):
+        xs = np.where(se[dy])[0]
+        if len(xs) == 0:
+            continue
+        assert (np.diff(xs) == 1).all(), "SE row is not a contiguous run"
+        rows.append((dy - r, int(xs[0]) - r, int(xs[-1]) - r))
+    return tuple(rows)
 
 
 def _interpret() -> bool:
@@ -71,7 +86,7 @@ def _ceil_to(v: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "alpha", "threshold", "blur_ksize", "blur_sigma",
+        "alpha", "threshold", "blur_ksize", "blur_sigma", "median_ksize",
         "open_shape", "open_ksize", "open_iters",
         "close_shape", "close_ksize", "close_iters", "tile",
     ),
@@ -84,6 +99,7 @@ def fused_segment(
     threshold: float,
     blur_ksize: int = 0,  # 0 = no blur
     blur_sigma: float = 0.0,
+    median_ksize: int = 0,  # 0 = no median; only 3 supported
     open_shape: str = "rect",
     open_ksize: int = 0,  # 0 = no open
     open_iters: int = 1,
@@ -95,11 +111,13 @@ def fused_segment(
     """Returns (masks (N, H, W) uint8 0/255, bg_out (H, W) float32)."""
     N, H, W = frames.shape
     rb = blur_ksize // 2
-    open_offs = _se_offsets(open_shape, open_ksize) if open_ksize else ()
-    close_offs = _se_offsets(close_shape, close_ksize) if close_ksize else ()
+    assert median_ksize in (0, 3), "fused median supports k=3 only"
+    rm = median_ksize // 2
+    open_rows = _se_rows(open_shape, open_ksize) if open_ksize else ()
+    close_rows = _se_rows(close_shape, close_ksize) if close_ksize else ()
     reach_open = (open_ksize // 2) * open_iters * 2 if open_ksize else 0
     reach_close = (close_ksize // 2) * close_iters * 2 if close_ksize else 0
-    P = rb + reach_open + reach_close
+    P = rb + rm + reach_open + reach_close
     if tile is None:
         # owned-block dims must be 8/128-aligned for the Mosaic lowering;
         # the haloed scratch tile (TH+2P, TW+2P) has no such constraint
@@ -171,6 +189,29 @@ def fused_segment(
 
         frame_dma(0, 0).start()
 
+        def morph(m, rows, is_erode: bool, iters: int):
+            fill = 1.0 if is_erode else 0.0
+            op = jnp.minimum if is_erode else jnp.maximum
+            for _ in range(iters):
+                mm = jnp.where(in_img, m, fill)
+                cache = {}
+
+                def rowreduce(lo, hi):
+                    if (lo, hi) not in cache:
+                        acc = None
+                        for dx in range(lo, hi + 1):
+                            v = _roll2(mm, 0, dx)
+                            acc = v if acc is None else op(acc, v)
+                        cache[(lo, hi)] = acc
+                    return cache[(lo, hi)]
+
+                out = None
+                for dy, lo, hi in rows:
+                    v = _roll2(rowreduce(lo, hi), dy, 0)
+                    out = v if out is None else op(out, v)
+                m = out
+            return m
+
         def body(t, carry):
             slot = t % 2
             nxt = (t + 1) % 2
@@ -200,47 +241,58 @@ def fused_segment(
                     )
                 f = acc
 
+            if rm:
+                # BORDER_REPLICATE: clamp each shifted read to the image
+                # rectangle (horizontal clamp first, then vertical — the
+                # composition reads f at the per-axis-clamped coordinate)
+                def hshift(dx):
+                    if dx == 0:
+                        return f
+                    ok = (gx + dx >= 0) & (gx + dx < W)
+                    return jnp.where(ok, _roll2(f, 0, dx), f)
+
+                win = []
+                for dx in (-1, 0, 1):
+                    hx = hshift(dx)
+                    for dy in (-1, 0, 1):
+                        if dy == 0:
+                            win.append(hx)
+                        else:
+                            ok = (gy + dy >= 0) & (gy + dy < H)
+                            win.append(
+                                jnp.where(ok, _roll2(hx, dy, 0), hx)
+                            )
+                f = _median9(win)
+
             bg = (1.0 - a) * bgt[:] + a * f
             bgt[:] = bg
             m = (jnp.abs(f - bg) > thr).astype(jnp.float32)
+            # foreground-free tiles skip morphology: open/close of an
+            # all-zero tile is zero under cv2 border semantics
+            any_fg = jnp.max(m) > 0.0
 
-            def erode(mm, offs):
-                mm = jnp.where(in_img, mm, 1.0)
-                out = None
-                for dy, dx in offs:
-                    v = _roll2(mm, dy, dx)
-                    out = v if out is None else jnp.minimum(out, v)
-                return out
+            @pl.when(any_fg)
+            def _(m=m):
+                if open_rows:
+                    m = morph(m, open_rows, True, open_iters)
+                    m = morph(m, open_rows, False, open_iters)
+                if close_rows:
+                    m = morph(m, close_rows, False, close_iters)
+                    m = morph(m, close_rows, True, close_iters)
+                mask_ref[t] = (
+                    (m[P:P + TH, P:P + TW] * 255.0)
+                    .astype(jnp.int32)
+                    .astype(jnp.uint8)
+                )
 
-            def dilate(mm, offs):
-                mm = jnp.where(in_img, mm, 0.0)
-                out = None
-                for dy, dx in offs:
-                    # cv2 dilate reflects the SE; ours are symmetric
-                    v = _roll2(mm, dy, dx)
-                    out = v if out is None else jnp.maximum(out, v)
-                return out
+            @pl.when(jnp.logical_not(any_fg))
+            def _():
+                mask_ref[t] = jnp.zeros((TH, TW), jnp.uint8)
 
-            if open_offs:
-                for _ in range(open_iters):
-                    m = erode(m, open_offs)
-                for _ in range(open_iters):
-                    m = dilate(m, open_offs)
-            if close_offs:
-                for _ in range(close_iters):
-                    m = dilate(m, close_offs)
-                for _ in range(close_iters):
-                    m = erode(m, close_offs)
-
-            mask_ref[t] = (
-                (m[P : P + TH, P : P + TW] * 255.0)
-                .astype(jnp.int32)
-                .astype(jnp.uint8)
-            )
             return carry
 
         lax.fori_loop(0, N, body, 0)
-        bgout_ref[:, :] = bgt[P : P + TH, P : P + TW]
+        bgout_ref[:, :] = bgt[P:P + TH, P:P + TW]
 
     masks, bg_out = pl.pallas_call(
         kernel,
