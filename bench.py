@@ -120,6 +120,34 @@ def bench_cpu(clip, plate, cfg, n_frames=16, trials=3):
     return best
 
 
+def accuracy_vs_reference(clip, plate, cfg, frames=48):
+    """The accuracy half of the primary metric (BASELINE.json:2): run the
+    TPU pipeline and the refimpl oracle on the same 1080p sub-clip and
+    report the max centroid error (px; contract is <= 1, BASELINE.json:5)
+    and whether every row pairs up by (track id, frame). Areas may differ
+    by a few pixels: cv2's uint8 GaussianBlur is fixed-point (<= 3 LSB vs
+    float, SURVEY.md §8), flipping knife-edge threshold pixels — absorbed
+    by the 1px centroid tolerance, not an id/track divergence."""
+    from refimpl.pipeline import run_pipeline
+    from tpuva.graph.pipeline import process_clip
+
+    sub = clip[:frames]
+    ref = run_pipeline(sub, cfg, background0=plate)
+    rows, _, _ = process_clip(sub, cfg, background0=plate, use_pallas=True)
+    key = lambda r: (r[1], r[0])
+    ref_rows = sorted(ref.rows, key=key)
+    got_rows = sorted(rows, key=key)
+    if len(ref_rows) != len(got_rows):
+        return float("inf"), False
+    max_err = 0.0
+    match = True
+    for r, g in zip(ref_rows, got_rows):
+        if int(r[0]) != int(g[0]) or int(r[1]) != int(g[1]):
+            match = False
+        max_err = max(max_err, abs(r[2] - g[2]), abs(r[3] - g[3]))
+    return max_err, match
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="short run")
@@ -151,12 +179,18 @@ def main():
     else:
         fps_tpu = bench_tpu(clip, plate, cfg)
 
+    max_err, rows_match = accuracy_vs_reference(
+        clip, plate, cfg, frames=min(48, frames)
+    )
+
     result = {
         "metric": f"full-pipeline throughput @{args.height}p",
         "value": round(fps_tpu, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps_tpu / fps_cpu, 2),
         "baseline_cpu_fps": round(fps_cpu, 2),
+        "max_centroid_err_px": round(max_err, 6),
+        "rows_match_reference": bool(rows_match),
     }
     print(json.dumps(result))
     return 0

@@ -77,7 +77,13 @@ def run_pipeline(
         a = np.float32(cfg.background.alpha)
         bg = (np.float32(1) - a) * bg + a * ff
         diff = np.abs(ff - bg)
-        mask = ((diff > cfg.segment.threshold) * 255).astype(np.uint8)
+        if cfg.segment.threshold == "otsu":
+            du8 = np.clip(np.rint(diff), 0, 255).astype(np.uint8)
+            _thr, mask = cv2.threshold(
+                du8, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU
+            )
+        else:
+            mask = ((diff > cfg.segment.threshold) * 255).astype(np.uint8)
         if open_k is not None:
             mask = cv2.morphologyEx(
                 mask, cv2.MORPH_OPEN, open_k, iterations=cfg.morph_open.iterations

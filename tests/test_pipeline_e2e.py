@@ -149,3 +149,26 @@ def test_parallel_bg_matches_sequential():
     mism = (m_seq != m_par).mean()
     assert mism < 1e-4
     assert_rows_match(r_seq, r_par, pos_tol=0.05, area_tol=2)
+
+
+def test_otsu_threshold_end_to_end():
+    """SegmentConfig(threshold='otsu') matches refimpl's cv2.THRESH_OTSU
+    path end-to-end (SURVEY.md §2.2 threshold row)."""
+    clip, _, plate = moving_disk_clip(
+        h=120, w=160, frames=48, radius=9, noise_sigma=3.0, seed=13
+    )
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.05),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        segment=SegmentConfig(threshold="otsu", min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=16,
+    )
+    ref = run_pipeline(clip, cfg, background0=plate, record=True)
+    rows, _, masks = process_clip(
+        clip, cfg, background0=plate, return_masks=True
+    )
+    mism = (masks != np.stack(ref.masks)).mean()
+    assert mism < 1e-4, f"otsu mask mismatch rate {mism}"
+    assert_rows_match(ref.rows, rows, pos_tol=0.05, area_tol=2)

@@ -120,3 +120,52 @@ def test_hdf5_output_matches_refimpl(tmp_path):
     write_tracks_hdf5(p1, ref.rows)
     write_tracks_hdf5(p2, rows)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_overflow_surfaced_strict_and_warn():
+    """Sparse-strip overflow must never be silent (capacity contract)."""
+    import jax.numpy as jnp
+    import pytest
+    import warnings
+
+    from tpuva.graph.pipeline import init_carry, process_batch_staged
+
+    # dense noise: far more occupied strips than capacity=1
+    rng = np.random.default_rng(0)
+    clip = (rng.random((4, 96, 256)) > 0.5).astype(np.uint8) * 255
+    cfg = CFG
+    carry = init_carry(cfg, 96, 256)
+    _, out = process_batch_staged(
+        cfg, carry, jnp.asarray(clip[: cfg.batch]), sparse_strips=1,
+        max_components=8,
+    )
+    assert int(np.asarray(out["stats_overflow"]).max()) > 0
+
+    sp = StreamingPipeline(cfg, strict=True, sparse_strips=1)
+    with pytest.raises(RuntimeError, match="overflow"):
+        sp._check_capacity(out, cfg.batch)
+
+    sp2 = StreamingPipeline(cfg, strict=False, sparse_strips=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sp2._check_capacity(out, cfg.batch)
+    assert any("overflow" in str(x.message) for x in w)
+    assert sp2.overflow_frames > 0
+
+
+def test_padded_tail_checkpoint_skipped(tmp_path):
+    """The final checkpoint is not written from a pad-perturbed carry;
+    the last periodic checkpoint stays authoritative (resume against a
+    grown video must not skip real frames)."""
+    from tpuva.graph.streaming import load_checkpoint
+    from tpuva.io.memory import VideoMemory
+
+    clip, _, plate = moving_disk_clip(h=64, w=96, frames=44, radius=6, seed=3)
+    ckpt = str(tmp_path / "tail.npz")
+    # 44 frames, batch 8 -> 5 full batches + padded tail of 4
+    sp = StreamingPipeline(CFG, checkpoint_path=ckpt, checkpoint_every=5)
+    sp.run(VideoMemory(clip), background0=plate)
+    carry, _rows = load_checkpoint(ckpt, CFG)
+    # checkpoint frame_idx must be the last FULL-batch boundary (40), not
+    # the padded 48
+    assert int(carry.frame_idx) == 40

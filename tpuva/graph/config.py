@@ -82,7 +82,12 @@ class BackgroundConfig:
 
 @dataclass(frozen=True)
 class SegmentConfig:
-    threshold: float = 25.0
+    """threshold: a float applies strict ``diff > threshold`` on the
+    float32 diff; the string ``"otsu"`` rounds the diff to uint8
+    (np.rint, clipped) and picks the per-frame Otsu threshold from its
+    256-bin histogram (cv2.THRESH_OTSU semantics, SURVEY.md §2.2)."""
+
+    threshold: float | str = 25.0
     min_area: int = 10
     max_blobs: int = 8  # static detection capacity (BASELINE.json:9: 2-8)
 

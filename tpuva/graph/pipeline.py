@@ -105,8 +105,12 @@ def background_trajectory(
 
 def _can_fuse(cfg: PipelineConfig) -> bool:
     """The Pallas fused front-end covers blur+median(k=3)+bg+threshold+
-    morph."""
-    return cfg.median is None or cfg.median.ksize in (1, 3)
+    morph. Otsu thresholding needs a whole-frame histogram — a global
+    statistic the tile-local single-pass kernel cannot see — so it runs
+    on the jnp path."""
+    return (
+        cfg.median is None or cfg.median.ksize in (1, 3)
+    ) and cfg.segment.threshold != "otsu"
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -219,6 +223,7 @@ def process_batch_staged(
     frames: jnp.ndarray,
     return_masks: bool = False,
     max_components: int = 64,
+    sparse_strips: int = 256,
 ):
     """TPU fast path: the pipeline as two jitted dispatches (Pallas fused
     mask kernel; then tiled CCL + stats + tracker).
@@ -231,6 +236,7 @@ def process_batch_staged(
     return _post_mask_stage(
         cfg, carry, mask, bg_last,
         return_masks=return_masks, max_components=max_components,
+        sparse_strips=sparse_strips,
     )
 
 
@@ -269,7 +275,18 @@ def process_batch(
         bgs = background_trajectory(bg0, f, cfg.background.alpha, parallel_bg)
         bg_last = bgs[-1]
         diff = jnp.abs(f - bgs)
-        mask = threshold(diff, cfg.segment.threshold)
+        if cfg.segment.threshold == "otsu":
+            from tpuva.ops.filters import otsu_threshold
+
+            du8 = jnp.clip(jnp.rint(diff), 0, 255).astype(jnp.uint8)
+            thr = otsu_threshold(du8)  # (N,) per-frame
+            mask = jnp.where(
+                du8.astype(jnp.int32) > thr.astype(jnp.int32)[:, None, None],
+                jnp.uint8(255),
+                jnp.uint8(0),
+            )
+        else:
+            mask = threshold(diff, cfg.segment.threshold)
         if cfg.morph_open is not None:
             se = structuring_element(cfg.morph_open.shape, cfg.morph_open.ksize)
             mask = morph_open(mask, se, cfg.morph_open.iterations)
@@ -328,6 +345,10 @@ def process_clip(
     The final partial batch is padded by repeating the last frame; padded
     frames' rows are dropped (tracker/background perturbation past the clip
     end is discarded with the final carry).
+
+    The staged TPU path's capacity diagnostics (sparse-strip stats
+    overflow, CCL round cap) raise a RuntimeError — silent accuracy loss
+    is never returned.
     """
     T, H, W = clip.shape
     N = cfg.batch
@@ -357,6 +378,17 @@ def process_clip(
                 return_masks=return_masks,
                 max_components=max_components,
                 use_pallas=use_pallas,
+            )
+        if "stats_overflow" in out:
+            ov = np.asarray(out["stats_overflow"][:n])
+            if (ov > 0).any():
+                raise RuntimeError(
+                    f"sparse-strip stats overflow on {int((ov > 0).sum())} "
+                    "frame(s) — raise sparse_strips for this workload"
+                )
+        if "ccl_converged" in out and not bool(np.asarray(out["ccl_converged"])):
+            raise RuntimeError(
+                "tiled CCL hit its round cap without converging"
             )
         all_rows.extend(
             collect_rows(

@@ -96,6 +96,16 @@ class StreamingPipeline:
     - carry stays on device between batches
     - optional periodic checkpointing + resume
     - structured per-batch progress logging (fps, queue depth, SURVEY §5.5)
+
+    parallel_bg defaults to False: the associative-scan background reorders
+    float accumulation and is NOT bit-identical to the sequential/refimpl
+    ordering — the byte-identical-export invariant holds only on the
+    default path. Opt in for throughput when exact replay isn't required.
+
+    Capacity violations are surfaced, not swallowed: sparse-strip stats
+    overflow and CCL non-convergence (staged TPU path) raise when
+    strict=True (default) and warn + count otherwise (see
+    .overflow_frames / .ccl_unconverged_batches).
     """
 
     def __init__(
@@ -103,11 +113,13 @@ class StreamingPipeline:
         cfg: PipelineConfig,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 50,  # batches
-        parallel_bg: bool = True,
+        parallel_bg: bool = False,
         max_components: int = 64,
         queue_depth: int = 3,
         log: bool = False,
         use_pallas: bool = False,
+        sparse_strips: int = 256,
+        strict: bool = True,
     ):
         self.cfg = cfg
         self.checkpoint_path = checkpoint_path
@@ -116,6 +128,10 @@ class StreamingPipeline:
         self.max_components = max_components
         self.queue_depth = queue_depth
         self.use_pallas = use_pallas
+        self.sparse_strips = sparse_strips
+        self.strict = strict
+        self.overflow_frames = 0
+        self.ccl_unconverged_batches = 0
         self.logger = BatchLogger(enabled=log)
 
     def _step(self, cfg, carry, dev_batch):
@@ -125,7 +141,8 @@ class StreamingPipeline:
             and jax.default_backend() == "tpu"
         ):
             return process_batch_staged(
-                cfg, carry, dev_batch, max_components=self.max_components
+                cfg, carry, dev_batch, max_components=self.max_components,
+                sparse_strips=self.sparse_strips,
             )
         return process_batch(
             cfg,
@@ -166,10 +183,12 @@ class StreamingPipeline:
         # host collection overlaps device compute without unbounded growth
         pending: list = []
         batches_done = 0
+        last_n = cfg.batch
         try:
             for n, dev_batch in stager:
                 carry, out = self._step(cfg, carry, dev_batch)
                 pending.append((n, out))
+                last_n = n
                 if len(pending) >= 2:
                     self._drain(pending, rows, upto=1)
                 batches_done += 1
@@ -185,20 +204,54 @@ class StreamingPipeline:
                     jax.block_until_ready(carry.bg)
                     save_checkpoint(self.checkpoint_path, carry, rows, cfg)
             self._drain(pending, rows)
-            if self.checkpoint_path:
+            # a padded tail batch perturbs the carry past the stream end
+            # (repeated pad frames enter the background model / tracker):
+            # persisting it would poison a resume against a later-appended
+            # video, so the final checkpoint is skipped in that case and
+            # the last periodic checkpoint remains authoritative.
+            if self.checkpoint_path and last_n == cfg.batch:
                 jax.block_until_ready(carry.bg)
                 save_checkpoint(self.checkpoint_path, carry, rows, cfg)
         finally:
             stager.close()
         return rows
 
-    @staticmethod
-    def _drain(pending: list, rows: list, upto: Optional[int] = None):
+    def _drain(self, pending: list, rows: list, upto: Optional[int] = None):
         while pending if upto is None else len(pending) > upto:
             n, out = pending.pop(0)
+            self._check_capacity(out, n)
             rows.extend(
                 collect_rows(
                     out["rows"][:n], out["row_valid"][:n],
                     row_sums=out["row_sums"][:n],
                 )
             )
+
+    def _check_capacity(self, out: dict, n: int) -> None:
+        """Surface silent-accuracy-loss conditions from the staged path
+        (sparse-strip overflow, CCL round cap)."""
+        import warnings
+
+        if "stats_overflow" in out:
+            ov = np.asarray(out["stats_overflow"][:n])
+            bad = int((ov > 0).sum())
+            if bad:
+                self.overflow_frames += bad
+                msg = (
+                    f"sparse-strip stats overflow on {bad} frame(s) (max "
+                    f"{int(ov.max())} strips dropped): areas/centroids are "
+                    "inexact for those frames — raise sparse_strips "
+                    f"(={self.sparse_strips}) for this workload"
+                )
+                if self.strict:
+                    raise RuntimeError(msg)
+                warnings.warn(msg)
+        if "ccl_converged" in out and not bool(np.asarray(out["ccl_converged"])):
+            self.ccl_unconverged_batches += 1
+            msg = (
+                "tiled CCL hit its round cap without converging — labels "
+                "may be split for this batch"
+            )
+            if self.strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg)
