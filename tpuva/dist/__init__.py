@@ -4,3 +4,8 @@ from tpuva.dist.multistream import (  # noqa: F401
     make_stream_mesh,
     merge_stream_rows,
 )
+from tpuva.dist.pipeline import (  # noqa: F401
+    MultiStreamPipeline,
+    load_multistream_checkpoint,
+    save_multistream_checkpoint,
+)

@@ -106,16 +106,22 @@ def make_multistream_processor(
     return jax.jit(sharded)
 
 
-def merge_stream_rows(rows_by_stream):
+def merge_stream_rows(rows_by_stream, with_stream: bool = False):
     """Deterministically merge per-stream trajectory rows: track ids are
     remapped to (stream-major) globally unique ids, rows sorted by
-    (stream, track_id, frame). rows_by_stream: list of row lists."""
+    (stream, track_id, frame) — the same (track_id, frame) order the
+    single-stream exporters use, applied stream-major.
+
+    with_stream=True prepends the source stream index to every row
+    (provenance for config-5 consumers): (stream, track_id_global, frame,
+    x, y, area). rows_by_stream: list of row lists."""
     merged = []
     offset = 0
-    for rows in rows_by_stream:
+    for s, rows in enumerate(rows_by_stream):
         max_tid = 0
         for tid, frame, x, y, area in sorted(rows, key=lambda r: (r[0], r[1])):
-            merged.append((tid + offset, frame, x, y, area))
+            row = (tid + offset, frame, x, y, area)
+            merged.append(((s,) + row) if with_stream else row)
             max_tid = max(max_tid, tid)
         offset += max_tid
     return merged

@@ -1,0 +1,301 @@
+"""Config-5 end-to-end host driver: 8 concurrent camera streams on a
+('stream',) mesh with per-stream state and merged results
+(BASELINE.json:11; SURVEY.md §2.3-K, §2.4-DP).
+
+The device function (make_multistream_processor) existed since round 1;
+this is the missing host orchestration — the multi-stream analog of
+tpuva.graph.streaming.StreamingPipeline:
+
+    S videos -> S decode threads (BatchStager, one per stream, staging
+    each stream's batch directly onto its chip) -> one global (S, N, H, W)
+    array assembled WITHOUT host copies (make_array_from_single_device_
+    arrays over the stream sharding) -> one mesh step -> per-stream row
+    collection -> periodic stacked-carry checkpoints -> merged export
+    with stream provenance.
+
+On hosts without S devices the same driver runs the vmap (single-device)
+processor; the mesh path is exercised on the simulated 8-device CPU mesh
+(SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpuva.dist.multistream import (
+    init_multistream_carry,
+    make_multistream_processor,
+    make_stream_mesh,
+    merge_stream_rows,
+)
+from tpuva.graph.config import PipelineConfig
+from tpuva.graph.pipeline import PipelineCarry, collect_rows
+from tpuva.io.base import VideoBase
+from tpuva.io.staging import BatchStager
+from tpuva.track.table import TrackState
+from tpuva.utils import BatchLogger
+
+
+def save_multistream_checkpoint(path: str, carry: PipelineCarry,
+                                rows_by_stream, cfg: PipelineConfig) -> None:
+    """Atomic snapshot of the stacked per-stream carry + rows (npz)."""
+    flat = []
+    for s, rows in enumerate(rows_by_stream):
+        for r in rows:
+            flat.append((s,) + tuple(r))
+    payload = {
+        "bg": np.asarray(carry.bg),
+        "bg_valid": np.asarray(carry.bg_valid),
+        "frame_idx": np.asarray(carry.frame_idx),
+        "track_pos": np.asarray(carry.track.pos),
+        "track_tid": np.asarray(carry.track.tid),
+        "track_missed": np.asarray(carry.track.missed),
+        "track_active": np.asarray(carry.track.active),
+        "track_next_id": np.asarray(carry.track.next_id),
+        "rows": np.asarray(flat, np.float64).reshape(-1, 6),
+        "config_json": np.frombuffer(cfg.to_json().encode(), dtype=np.uint8),
+    }
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_multistream_checkpoint(path: str, cfg: PipelineConfig,
+                                n_streams: int):
+    """Returns (carry, rows_by_stream) or raises (config must match)."""
+    z = np.load(path)
+    saved_cfg = bytes(z["config_json"]).decode()
+    if PipelineConfig.from_json(saved_cfg) != cfg:
+        raise ValueError(
+            "checkpoint was produced with a different PipelineConfig"
+        )
+    if z["bg"].shape[0] != n_streams:
+        raise ValueError("checkpoint has a different stream count")
+    carry = PipelineCarry(
+        bg=jnp.asarray(z["bg"]),
+        bg_valid=jnp.asarray(z["bg_valid"]),
+        track=TrackState(
+            pos=jnp.asarray(z["track_pos"]),
+            tid=jnp.asarray(z["track_tid"]),
+            missed=jnp.asarray(z["track_missed"]),
+            active=jnp.asarray(z["track_active"]),
+            next_id=jnp.asarray(z["track_next_id"]),
+        ),
+        frame_idx=jnp.asarray(z["frame_idx"]),
+    )
+    rows_by_stream = [[] for _ in range(n_streams)]
+    for r in z["rows"]:
+        rows_by_stream[int(r[0])].append(tuple(r[1:]))
+    return carry, rows_by_stream
+
+
+class MultiStreamPipeline:
+    """Drive S equal-length videos through the data-parallel mesh pipeline.
+
+    mesh="auto" builds a ('stream',) mesh when >= n_streams devices are
+    visible, else falls back to the single-device vmap processor (same
+    math, tested equivalent). Each stream's batches are decoded by its own
+    thread and staged directly onto its chip; the global (S, N, H, W)
+    batch is assembled from the per-chip shards with zero host copies.
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        n_streams: int,
+        mesh="auto",
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 50,  # mesh steps
+        parallel_bg: bool = False,
+        max_components: int = 64,
+        queue_depth: int = 3,
+        log: bool = False,
+    ):
+        self.cfg = cfg
+        self.n_streams = n_streams
+        if mesh == "auto":
+            mesh = (
+                make_stream_mesh(n_streams)
+                if len(jax.devices()) >= n_streams
+                else None
+            )
+        self.mesh = mesh
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+        self.queue_depth = queue_depth
+        self.logger = BatchLogger(enabled=log)
+        self._fn = make_multistream_processor(
+            cfg,
+            n_streams,
+            mesh=mesh,
+            parallel_bg=parallel_bg,
+            max_components=max_components,
+        )
+
+    # ------------------------------------------------------------- assembly
+    def _stagers(self, videos: Sequence[VideoBase]):
+        devs = (
+            list(self.mesh.devices.reshape(-1))
+            if self.mesh is not None
+            else [None] * self.n_streams
+        )
+        return [
+            BatchStager(
+                v, self.cfg.batch, queue_depth=self.queue_depth, device=d
+            )
+            for v, d in zip(videos, devs)
+        ]
+
+    def _assemble(self, batches):
+        """Per-stream (N, H, W) device batches -> global (S, N, H, W)."""
+        if self.mesh is None:
+            return jnp.stack(batches)
+        shards = [b[None] for b in batches]  # (1, N, H, W) on its chip
+        S = self.n_streams
+        shape = (S,) + tuple(shards[0].shape[1:])
+        return jax.make_array_from_single_device_arrays(
+            shape, NamedSharding(self.mesh, P("stream")), shards
+        )
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        videos: Sequence[VideoBase],
+        background0: Optional[np.ndarray] = None,  # (S, H, W)
+        resume: bool = True,
+        export_dir: Optional[str] = None,
+    ):
+        """Process all streams in lock-step. Returns (rows_by_stream,
+        merged) where merged rows carry stream provenance:
+        (stream, track_id_global, frame, x, y, area).
+
+        With export_dir set, writes stream_<s>.h5 per stream plus
+        merged.h5 (6-column trajectories with a stream column)."""
+        cfg = self.cfg
+        S = self.n_streams
+        if len(videos) != S:
+            raise ValueError(f"expected {S} videos, got {len(videos)}")
+        counts = {v.frame_count for v in videos}
+        if len(counts) != 1:
+            raise ValueError(
+                f"streams must be equal length (lock-step), got {counts}"
+            )
+        total = counts.pop()
+        W, H = videos[0].size
+
+        rows_by_stream = [[] for _ in range(S)]
+        carry = init_multistream_carry(cfg, H, W, S, background0=background0)
+        start_frame = 0
+        if (
+            resume
+            and self.checkpoint_path
+            and os.path.exists(self.checkpoint_path)
+        ):
+            carry, rows_by_stream = load_multistream_checkpoint(
+                self.checkpoint_path, cfg, S
+            )
+            fidx = np.asarray(carry.frame_idx)
+            assert (fidx == fidx[0]).all(), "streams out of lock-step"
+            start_frame = int(fidx[0])
+
+        if start_frame >= total:
+            return rows_by_stream, merge_stream_rows(
+                rows_by_stream, with_stream=True
+            )
+        sources = [
+            v[start_frame:] if start_frame else v for v in videos
+        ]
+        stagers = self._stagers(sources)
+        iters = [iter(st) for st in stagers]
+        pending: list = []
+        steps = 0
+        last_n = cfg.batch
+        try:
+            while True:
+                items = []
+                done = 0
+                for it in iters:
+                    try:
+                        items.append(next(it))
+                    except StopIteration:
+                        done += 1
+                if done:
+                    assert done == S, "streams finished out of lock-step"
+                    break
+                ns = {n for n, _ in items}
+                assert len(ns) == 1, f"unequal tail batches: {ns}"
+                n = ns.pop()
+                frames = self._assemble([b for _, b in items])
+                carry, out = self._fn(carry, frames)
+                pending.append((n, out))
+                last_n = n
+                if len(pending) >= 2:
+                    self._drain(pending, rows_by_stream, upto=1)
+                steps += 1
+                self.logger.log(n * S, queue=max(st.depth for st in stagers))
+                if (
+                    self.checkpoint_path
+                    and steps % self.checkpoint_every == 0
+                ):
+                    self._drain(pending, rows_by_stream)
+                    jax.block_until_ready(carry.bg)
+                    save_multistream_checkpoint(
+                        self.checkpoint_path, carry, rows_by_stream, cfg
+                    )
+            self._drain(pending, rows_by_stream)
+            # same padded-tail rule as StreamingPipeline: never persist a
+            # carry perturbed by pad frames
+            if self.checkpoint_path and last_n == cfg.batch:
+                jax.block_until_ready(carry.bg)
+                save_multistream_checkpoint(
+                    self.checkpoint_path, carry, rows_by_stream, cfg
+                )
+        finally:
+            for st in stagers:
+                st.close()
+
+        merged = merge_stream_rows(rows_by_stream, with_stream=True)
+        if export_dir:
+            from tpuva.export.hdf5io import (
+                write_multistream_hdf5,
+                write_tracks_hdf5,
+            )
+
+            os.makedirs(export_dir, exist_ok=True)
+            for s, rows in enumerate(rows_by_stream):
+                write_tracks_hdf5(
+                    os.path.join(export_dir, f"stream_{s}.h5"), rows
+                )
+            write_multistream_hdf5(
+                os.path.join(export_dir, "merged.h5"), merged
+            )
+        return rows_by_stream, merged
+
+    @staticmethod
+    def _drain(pending, rows_by_stream, upto: Optional[int] = None):
+        while pending if upto is None else len(pending) > upto:
+            n, out = pending.pop(0)
+            rows = np.asarray(out["rows"])
+            row_valid = np.asarray(out["row_valid"])
+            row_sums = np.asarray(out["row_sums"])
+            for s in range(rows.shape[0]):
+                rows_by_stream[s].extend(
+                    collect_rows(
+                        rows[s, :n], row_valid[s, :n],
+                        row_sums=row_sums[s, :n],
+                    )
+                )

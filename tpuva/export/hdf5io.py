@@ -53,3 +53,39 @@ def read_tracks_hdf5(path) -> np.ndarray:
 
     with h5py.File(path, "r") as f:
         return f["trajectories"][...]
+
+
+MS_COLUMNS = ["stream", "track_id", "frame", "x", "y", "area"]
+
+
+def write_multistream_hdf5(path, merged_rows) -> None:
+    """Config-5 merged export (BASELINE.json:11): 6-column trajectories
+    with stream provenance, rows ordered (stream, track_id, frame) —
+    stream-major, then the single-stream exporters' (track_id, frame)
+    order, so per-stream slices are value-identical to the per-stream
+    files."""
+    import h5py
+
+    rows = sorted(merged_rows, key=lambda r: (int(r[0]), int(r[1]), int(r[2])))
+    if rows:
+        tab = np.array(
+            [
+                (int(s), int(t), int(f), float(x), float(y),
+                 float(int(round(a))))
+                for s, t, f, x, y, a in rows
+            ],
+            np.float64,
+        )
+        tab[:, 3:5] = np.round(tab[:, 3:5], 3)
+    else:
+        tab = np.zeros((0, 6), np.float64)
+    with h5py.File(path, "w", track_order=False) as f:
+        d = f.create_dataset("trajectories", data=tab)
+        d.attrs["columns"] = MS_COLUMNS
+
+
+def read_multistream_hdf5(path) -> np.ndarray:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return f["trajectories"][...]
