@@ -14,8 +14,18 @@ background-model carry. Per batch:
    on the extended band (halo rows recomputed redundantly, exactly like
    the fused Pallas kernel's overlap scheme), with cv2 border semantics
    enforced at true image borders only;
-3. the sparse masks are `all_gather`ed and the tiny segmentation+tracking
-   tail runs replicated on every chip (deterministic, so replicas agree).
+3. the tail is band-parallel too (round 2 — gen 1 `all_gather`ed full
+   masks and replicated it): each chip labels ITS band with GLOBAL scan
+   keys, then a fixed-point reconciliation loop exchanges only the 1-row
+   band-edge labels via `ppermute` (labels decrease monotonically toward
+   the component min, so cross-band propagation is an edge-min + local
+   re-sweep); per-band stats are contracted locally (MXU one-hot limb
+   sums against the band's root table) and the tiny (C-entry) tables are
+   `all_gather`ed and merged by ascending root key — exactly cv2's id
+   order — on every chip. Only the O(max_components) tracker tail is
+   replicated. Per-chip tail work is ~1/n of the frame; ICI carries
+   2 rows of labels per reconciliation round + one C-row table gather,
+   instead of the full H x W x N mask.
 
 Bit-identical to the single-chip pipeline (tested on the simulated CPU
 mesh). The multi-STREAM data-parallel mode (tpuva.dist.multistream) is the
@@ -43,8 +53,14 @@ from tpuva.graph.pipeline import (
     filter_batch,
     init_carry,
 )
-from tpuva.ops import connected_components_with_stats, structuring_element, threshold
+from tpuva.ops import structuring_element, threshold
 from tpuva.ops.filters import _morph
+from tpuva.ops.label import (
+    _assemble_stats,
+    _neighbor_min_8,
+    _scan_key,
+    _segmented_min_scan,
+)
 
 
 def make_space_mesh(n_chips: int, devices=None) -> Mesh:
@@ -89,6 +105,8 @@ def make_spatial_processor(
     Hb = H // n_chips
     if halo > Hb:
         raise ValueError("halo larger than band; use fewer chips")
+    if Hb < 2:
+        raise ValueError("band must be at least 2 rows")
 
     fwd = [(i, i + 1) for i in range(n_chips - 1)]  # send down
     bwd = [(i + 1, i) for i in range(n_chips - 1)]  # send up
@@ -139,16 +157,160 @@ def make_spatial_processor(
         mask_band = mask[:, halo : halo + Hb]
         bg_band = bgs[-1][halo : halo + Hb]
 
-        # gather the (sparse) masks; the segmentation+tracking tail is tiny
-        # and runs replicated — every chip computes identical results
-        full = lax.all_gather(mask_band, "space", axis=0)  # (S, N, Hb, W)
-        full = jnp.moveaxis(full, 0, 1).reshape(frames.shape[0], H, W)
-        stats = connected_components_with_stats(
-            full,
-            max_components=max_components,
-            compute_bbox=False,
-            compute_labels=False,
+        # ---- band-parallel CCL with GLOBAL scan keys (8-conn, block
+        # raster — the cv2 id order the whole framework pins)
+        N = frames.shape[0]
+        _km, _inv, sent = _scan_key(H, W, 8)
+        Wb2 = (W + 1) // 2
+        rr = jnp.arange(Hb, dtype=jnp.int32)[:, None] + idx * Hb
+        cc = jnp.arange(W, dtype=jnp.int32)[None, :]
+        kv = ((rr >> 1) * Wb2 + (cc >> 1)) * 4 + (rr & 1) * 2 + (cc & 1)
+        m = mask_band > 0
+        lab0 = jnp.where(m, kv[None], jnp.int32(sent))
+
+        def band_sweep(l):
+            def sweep(label):
+                label = jnp.where(
+                    m, jnp.minimum(label, _neighbor_min_8(label, sent)), sent
+                )
+                label = _segmented_min_scan(label, m, 2, sent)
+                label = _segmented_min_scan(label, m, 2, sent, reverse=True)
+                label = _segmented_min_scan(label, m, 1, sent)
+                label = _segmented_min_scan(label, m, 1, sent, reverse=True)
+                return label
+
+            def body(s):
+                cur, _ = s
+                new = sweep(cur)
+                return new, jnp.any(new != cur)
+
+            l, _ = lax.while_loop(lambda s: s[1], body, (l, jnp.bool_(True)))
+            return l
+
+        lab_local = band_sweep(lab0)
+
+        # ---- cross-band reconciliation: labels only DECREASE toward the
+        # component min, so exchanging 1-row edge labels + re-sweeping the
+        # band is a sound fixed-point loop (monotone min algebra); the
+        # while condition is pmax-reduced so every chip agrees.
+        def recon_body(s):
+            l, _ = s
+            top = l[:, 0]
+            bot = l[:, -1]
+            from_above = lax.ppermute(bot, "space", fwd)
+            from_below = lax.ppermute(top, "space", bwd)
+            from_above = jnp.where(idx == 0, jnp.int32(sent), from_above)
+            from_below = jnp.where(
+                idx == n_chips - 1, jnp.int32(sent), from_below
+            )
+
+            def adj(nb):  # 8-conn: straight + diagonal partners
+                le = jnp.pad(
+                    nb, ((0, 0), (1, 0)), constant_values=sent
+                )[:, :-1]
+                ri = jnp.pad(
+                    nb, ((0, 0), (0, 1)), constant_values=sent
+                )[:, 1:]
+                return jnp.minimum(nb, jnp.minimum(le, ri))
+
+            new_top = jnp.where(
+                m[:, 0], jnp.minimum(top, adj(from_above)), jnp.int32(sent)
+            )
+            new_bot = jnp.where(
+                m[:, -1], jnp.minimum(bot, adj(from_below)), jnp.int32(sent)
+            )
+            l2 = jnp.concatenate(
+                [new_top[:, None], l[:, 1:-1], new_bot[:, None]], axis=1
+            )
+            changed = lax.pmax(
+                jnp.any(l2 != l).astype(jnp.int32), "space"
+            )
+            return band_sweep(l2), changed > 0
+
+        lab, _ = lax.while_loop(
+            lambda s: s[1], recon_body, (lab_local, jnp.bool_(True))
         )
+
+        # ---- per-band component-value table + exact limb sums (global
+        # coordinates). A band may hold pieces of a component whose root
+        # pixel lives in ANOTHER band, so the contraction table lists the
+        # distinct LABEL VALUES present in the band: one candidate per
+        # band-local piece root (pre-reconciliation local minimum, unique
+        # per piece), carrying the piece's post-reconciliation global
+        # value, then deduplicated (a component may touch a band in
+        # several disconnected pieces — double columns would double-count
+        # the contraction).
+        C = max_components
+        root = jnp.where(m, lab + 1, 0)
+        is_piece_root = m & (lab_local == kv[None])
+        rootv = jnp.where(is_piece_root, lab + 1, 0).reshape(N, Hb * W)
+        vals, _idx2 = lax.top_k(rootv, C)  # descending; dupes adjacent
+        dup = jnp.concatenate(
+            [jnp.zeros((N, 1), bool), vals[:, 1:] == vals[:, :-1]], axis=1
+        )
+        n_loc = jnp.sum((rootv > 0).astype(jnp.int32), axis=1)
+        table = jnp.where((vals > 0) & ~dup, vals, jnp.int32(sent + 2))
+        flat = root.reshape(N, Hb * W)
+        eq = (flat[:, :, None] == table[:, None, :]).astype(jnp.bfloat16)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (Hb * W, 1), 0)[:, 0]
+        x = lin % W
+        y = lin // W + idx * Hb
+        payload = jnp.stack(
+            [
+                jnp.ones_like(x),
+                x & 63, (x >> 6) & 63, x >> 12,
+                y & 63, (y >> 6) & 63, y >> 12,
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)  # (Hb*W, 7)
+        sums = jnp.einsum(
+            "npc,pk->nck", eq, payload, preferred_element_type=jnp.float32
+        )  # (N, C, 7)
+
+        # ---- tiny replicated merge: gather C-entry tables, aggregate
+        # split components by key, rank ascending (= cv2 id order)
+        tabs = lax.all_gather(table, "space", axis=0)  # (S, N, C)
+        sms = lax.all_gather(sums, "space", axis=0)  # (S, N, C, 7)
+        S = n_chips
+        K = jnp.moveaxis(tabs, 0, 1).reshape(N, S * C)
+        V = jnp.moveaxis(sms, 0, 1).reshape(N, S * C, 7)
+        eqm = (K[:, :, None] == K[:, None, :])  # (N, SC, SC)
+        sc = jnp.arange(S * C, dtype=jnp.int32)
+        first_idx = jnp.argmax(eqm, axis=2).astype(jnp.int32)
+        is_first = first_idx == sc[None, :]
+        agg = jnp.einsum(
+            "nij,nik->njk", eqm.astype(jnp.float32), V,
+            preferred_element_type=jnp.float32,
+        )  # exact: integer limb sums < 2^24
+        valid = is_first & (K <= sent)
+        rank = jnp.sum(
+            ((K[:, None, :] < K[:, :, None]) & valid[:, None, :]).astype(
+                jnp.int32
+            ),
+            axis=2,
+        )  # (N, SC)
+        n_roots = jnp.sum(valid.astype(jnp.int32), axis=1)
+        cs = jnp.arange(C, dtype=jnp.int32)
+        oh = valid[:, None, :] & (rank[:, None, :] == cs[None, :, None])
+        out_sums = jnp.einsum(
+            "ncj,njk->nck", oh.astype(jnp.float32), agg,
+            preferred_element_type=jnp.float32,
+        )
+        count, area, centroid, csum, _present = _assemble_stats(
+            out_sums, n_roots, H, W, C
+        )
+        stats = {
+            "count": count,
+            "area": area,
+            "centroid": centroid,
+            "centroid_sum": csum,
+        }
+        # accuracy-loss flag: a band with more PIECES than table capacity
+        # drops their sums (wrong areas). Components beyond C globally are
+        # the documented max_components cap (ascending scan-key order,
+        # same as single-chip) — not an error.
+        overflow = lax.psum(jnp.maximum(n_loc - C, 0), "space")
+
         rep_carry = PipelineCarry(
             bg=jnp.zeros((1, 1), jnp.float32),  # placeholder, not used
             bg_valid=carry.bg_valid,
@@ -156,8 +318,10 @@ def make_spatial_processor(
             frame_idx=carry.frame_idx,
         )
         new_rep, out = _finish_batch(
-            cfg, rep_carry, stats, full, jnp.zeros((1, 1), jnp.float32), False
+            cfg, rep_carry, stats, mask_band, jnp.zeros((1, 1), jnp.float32),
+            False,
         )
+        out["stats_overflow"] = overflow
         new_carry = PipelineCarry(
             bg=bg_band,
             bg_valid=jnp.bool_(True),
@@ -173,6 +337,7 @@ def make_spatial_processor(
     )
     out_specs = {
         "rows": P(), "row_valid": P(), "n_det": P(), "row_sums": P(),
+        "stats_overflow": P(),
     }
     specs = dict(
         mesh=mesh,

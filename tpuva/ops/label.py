@@ -464,6 +464,56 @@ def connected_components_with_stats(
     return out
 
 
+def _assemble_stats(sums, n_roots, H: int, W: int, C: int):
+    """Shared stats epilogue: limb recombination, background row by
+    subtraction from static image totals, centroid division. sums:
+    (N, C, 7) float32 exact-integer limb sums (area, x limbs, y limbs).
+    Returns (count, area (N,C+1), centroid (N,C+1,2), csum (N,C+1,2),
+    present)."""
+    count = jnp.minimum(n_roots, C)
+    area_c = sums[..., 0].astype(jnp.int32)
+    sx_c = (
+        sums[..., 1].astype(jnp.int32)
+        + (sums[..., 2].astype(jnp.int32) << 6)
+        + (sums[..., 3].astype(jnp.int32) << 12)
+    )
+    sy_c = (
+        sums[..., 4].astype(jnp.int32)
+        + (sums[..., 5].astype(jnp.int32) << 6)
+        + (sums[..., 6].astype(jnp.int32) << 12)
+    )
+    # background row by subtraction from static image totals (float32: the
+    # bg coordinate sums exceed int32 at large resolutions)
+    area0 = (H * W - jnp.sum(area_c, axis=1)).astype(jnp.int32)
+    sx_tot = float(H) * (W - 1) * W / 2.0
+    sy_tot = float(W) * (H - 1) * H / 2.0
+    sx0 = sx_tot - jnp.sum(sx_c, axis=1).astype(jnp.float32)
+    sy0 = sy_tot - jnp.sum(sy_c, axis=1).astype(jnp.float32)
+
+    area = jnp.concatenate([area0[:, None], area_c], axis=1)
+    present = area > 0
+    safe_area = jnp.maximum(area, 1).astype(jnp.float32)
+    sx_f = jnp.concatenate(
+        [sx0[:, None], sx_c.astype(jnp.float32)], axis=1
+    )
+    sy_f = jnp.concatenate(
+        [sy0[:, None], sy_c.astype(jnp.float32)], axis=1
+    )
+    cx = jnp.where(present, sx_f / safe_area, 0.0).astype(jnp.float32)
+    cy = jnp.where(present, sy_f / safe_area, 0.0).astype(jnp.float32)
+    centroid = jnp.stack([cx, cy], axis=-1)
+    csum_c = jnp.stack([sx_c, sy_c], axis=-1)
+    csum = jnp.concatenate(
+        [
+            jnp.stack([sx0, sy0], axis=-1).astype(jnp.int32)[:, None],
+            csum_c,
+        ],
+        axis=1,
+    )
+    csum = jnp.where(present[:, :, None], csum, 0)
+    return count, area, centroid, csum, present
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -557,47 +607,9 @@ def _stats_from_root(
         sums = jnp.einsum(
             "npc,pk->nck", eq, payload, preferred_element_type=jnp.float32
         )  # (N, C, 7)
-    count = jnp.minimum(n_roots, C)
-    area_c = sums[..., 0].astype(jnp.int32)
-    sx_c = (
-        sums[..., 1].astype(jnp.int32)
-        + (sums[..., 2].astype(jnp.int32) << 6)
-        + (sums[..., 3].astype(jnp.int32) << 12)
+    count, area, centroid, csum, present = _assemble_stats(
+        sums, n_roots, H, W, C
     )
-    sy_c = (
-        sums[..., 4].astype(jnp.int32)
-        + (sums[..., 5].astype(jnp.int32) << 6)
-        + (sums[..., 6].astype(jnp.int32) << 12)
-    )
-    # background row by subtraction from static image totals (float32: the
-    # bg coordinate sums exceed int32 at large resolutions)
-    area0 = (H * W - jnp.sum(area_c, axis=1)).astype(jnp.int32)
-    sx_tot = float(H) * (W - 1) * W / 2.0
-    sy_tot = float(W) * (H - 1) * H / 2.0
-    sx0 = sx_tot - jnp.sum(sx_c, axis=1).astype(jnp.float32)
-    sy0 = sy_tot - jnp.sum(sy_c, axis=1).astype(jnp.float32)
-
-    area = jnp.concatenate([area0[:, None], area_c], axis=1)
-    present = area > 0
-    safe_area = jnp.maximum(area, 1).astype(jnp.float32)
-    sx_f = jnp.concatenate(
-        [sx0[:, None], sx_c.astype(jnp.float32)], axis=1
-    )
-    sy_f = jnp.concatenate(
-        [sy0[:, None], sy_c.astype(jnp.float32)], axis=1
-    )
-    cx = jnp.where(present, sx_f / safe_area, 0.0).astype(jnp.float32)
-    cy = jnp.where(present, sy_f / safe_area, 0.0).astype(jnp.float32)
-    centroid = jnp.stack([cx, cy], axis=-1)
-    csum_c = jnp.stack([sx_c, sy_c], axis=-1)
-    csum = jnp.concatenate(
-        [
-            jnp.stack([sx0, sy0], axis=-1).astype(jnp.int32)[:, None],
-            csum_c,
-        ],
-        axis=1,
-    )
-    csum = jnp.where(present[:, :, None], csum, 0)
 
     if compute_labels:
         # ids contracted as 6-bit limbs (bf16 is integer-exact only to 256;
