@@ -1,0 +1,303 @@
+#!/usr/bin/env python
+"""Config-4 scale proof (BASELINE.json:10): a 100k+ frame 1080p streamed
+run with rolling background model, HDF5 output, checkpoint/kill/resume,
+bounded host memory, and a float64 background-drift oracle.
+
+Frames are generated ON DEVICE by a deterministic integer-math renderer
+(this box's tunnel moves ~28 MB/s host->device — a ~13 fps ceiling for
+streamed 1080p uint8, see CLAUDE.md — so the soak measures the pipeline,
+not the tunnel; on a real v5e host the BatchStager path feeds the same
+loop). The SAME renderer is evaluated in NumPy for the drift oracle, so
+the float32 on-device background recurrence is compared against an exact
+float64 recurrence over the full 100k updates on an interior crop.
+
+Outputs one JSON line + writes soak artifacts (HDF5, checkpoint) into
+--workdir. Committed artifact: SOAK_100K.json at the repo root.
+
+Checks:
+  1. bounded memory: current RSS sampled every 256 batches; the second
+     half of the run must not grow more than --rss-slack MB.
+  2. kill+resume: the run is aborted mid-stream (exception after half the
+     batches), resumed from the periodic checkpoint, and the final HDF5
+     must be BYTE-identical to the uninterrupted run's.
+  3. background drift: max |f32_bg - f64_bg| over a 64x64 interior crop
+     after all updates (quantifies BASELINE's rolling-model stability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+# ----------------------------------------------------------- deterministic
+# integer-math scene: plate texture + bouncing disks. Identical in jax and
+# numpy (int32 ops only), so the host oracle sees the exact same frames.
+N_BLOBS = 6
+AMP = 120
+RADIUS = 16
+
+
+def _blob_params(H, W, i):
+    x0 = 37 + 211 * i
+    y0 = 53 + 173 * i
+    vx = 2 + (i % 3)
+    vy = 1 + (i % 4)
+    return x0, y0, vx, vy
+
+
+def _tri(v, M):
+    """Triangle wave of period 2M on integer v (numpy or jax)."""
+    m = v % (2 * M)
+    return np.minimum(m, 2 * M - m) if isinstance(v, np.ndarray) else None
+
+
+def render_frames_np(H, W, t0, n, region=None):
+    """(n, h, w) uint8, frames t0..t0+n-1 — the host-side oracle twin.
+
+    region=(ys, xs, h, w) renders only that window (blob positions are
+    global, the per-pixel math restricts to the window) — the drift
+    oracle would otherwise rasterize 100k full 1080p frames in NumPy."""
+    ys, xs, h, w = region if region else (0, 0, H, W)
+    y = (np.arange(h, dtype=np.int64) + ys)[None, :, None]
+    x = (np.arange(w, dtype=np.int64) + xs)[None, None, :]
+    plate = ((x * 7 + y * 13) % 23 + 40).astype(np.int64)
+    t = np.arange(t0, t0 + n, dtype=np.int64)[:, None, None]
+    acc = np.broadcast_to(plate, (n, h, w)).copy()
+    Mx, My = W - 2 * RADIUS, H - 2 * RADIUS
+    for i in range(N_BLOBS):
+        x0, y0, vx, vy = _blob_params(H, W, i)
+        mx = (x0 + vx * t) % (2 * Mx)
+        cx = np.minimum(mx, 2 * Mx - mx) + RADIUS
+        my = (y0 + vy * t) % (2 * My)
+        cy = np.minimum(my, 2 * My - my) + RADIUS
+        d2 = (x - cx) ** 2 + (y - cy) ** 2
+        acc = np.where(d2 <= RADIUS * RADIUS, plate + AMP, acc)
+    return np.clip(acc, 0, 255).astype(np.uint8)
+
+
+def make_render_jax(H, W, n):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def render(t0):
+        y = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        x = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        plate = ((x * 7 + y * 13) % 23 + 40)
+        t = (t0 + jnp.arange(n, dtype=jnp.int32))[:, None, None]
+        acc = jnp.broadcast_to(plate, (n, H, W))
+        Mx, My = W - 2 * RADIUS, H - 2 * RADIUS
+        for i in range(N_BLOBS):
+            x0, y0, vx, vy = _blob_params(H, W, i)
+            mx = (x0 + vx * t) % (2 * Mx)
+            cx = jnp.minimum(mx, 2 * Mx - mx) + RADIUS
+            my = (y0 + vy * t) % (2 * My)
+            cy = jnp.minimum(my, 2 * My - my) + RADIUS
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            acc = jnp.where(d2 <= RADIUS * RADIUS, plate + AMP, acc)
+        return jnp.clip(acc, 0, 255).astype(jnp.uint8)
+
+    return render
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def build_cfg(batch):
+    from tpuva.graph.config import (
+        BackgroundConfig, BlurConfig, MorphConfig, PipelineConfig,
+        SegmentConfig, TrackConfig,
+    )
+
+    return PipelineConfig(
+        background=BackgroundConfig(alpha=0.02),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        segment=SegmentConfig(threshold=60.0, min_area=50, max_blobs=8),
+        track=TrackConfig(max_dist=80.0, death_patience=5, max_tracks=16,
+                          assigner="hungarian"),
+        batch=batch,
+    )
+
+
+class Abort(Exception):
+    pass
+
+
+def run_soak(cfg, H, W, total_frames, ckpt_path, abort_at_batch=None,
+             resume=False, ckpt_every=256, rss_samples=None):
+    """Device-fed streamed run with periodic checkpoints. Returns the row
+    arrays (list of np (k,5) float64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import collect_rows, init_carry
+    from tpuva.graph.pipeline import process_batch_staged, process_batch
+    from tpuva.graph.streaming import load_checkpoint, save_checkpoint
+
+    N = cfg.batch
+    render = make_render_jax(H, W, N)
+    carry = init_carry(cfg, H, W)
+    rows_np: list = []
+    start = 0
+    if resume and os.path.exists(ckpt_path):
+        carry, rows = load_checkpoint(ckpt_path, cfg)
+        rows_np = [np.asarray(rows, np.float64).reshape(-1, 5)]
+        start = int(carry.frame_idx)
+    staged = jax.default_backend() == "tpu"
+
+    batches = (total_frames - start) // N
+    pending: list = []
+
+    def drain():
+        # one stacked transfer per ~16 batches: each host<->device round
+        # trip costs ~28 ms through this box's tunnel (CLAUDE.md)
+        if not pending:
+            return
+        R = np.asarray(jnp.stack([o["rows"] for o in pending]))
+        V = np.asarray(jnp.stack([o["row_valid"] for o in pending]))
+        S = np.asarray(jnp.stack([o["row_sums"] for o in pending]))
+        if "stats_overflow" in pending[0]:
+            O = np.asarray(
+                jnp.stack([o["stats_overflow"] for o in pending])
+            )
+            assert int(O.max()) == 0, "sparse-strip overflow in soak"
+        for i in range(R.shape[0]):
+            got = collect_rows(R[i], V[i], row_sums=S[i])
+            rows_np.append(np.asarray(got, np.float64).reshape(-1, 5))
+        pending.clear()
+
+    for b in range(batches):
+        t0 = start + b * N
+        frames = render(jnp.int32(t0))
+        if staged:
+            carry, out = process_batch_staged(cfg, carry, frames)
+        else:
+            carry, out = process_batch(cfg, carry, frames)
+        pending.append(out)
+        if len(pending) >= 16:
+            drain()
+        done = b + 1
+        if done % ckpt_every == 0:
+            drain()
+            jax.block_until_ready(carry.bg)
+            flat = [tuple(r) for arr in rows_np for r in arr]
+            save_checkpoint(ckpt_path, carry, flat, cfg)
+            if rss_samples is not None:
+                rss_samples.append((t0 + N, rss_mb()))
+        if abort_at_batch is not None and done >= abort_at_batch:
+            raise Abort()
+    drain()
+    return rows_np, carry
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100_352)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--workdir", default="/tmp/tpuva_soak")
+    ap.add_argument("--rss-slack", type=float, default=512.0,
+                    help="max allowed RSS growth (MB) over the 2nd half")
+    args = ap.parse_args()
+
+    from tpuva.export.hdf5io import write_tracks_hdf5
+
+    os.makedirs(args.workdir, exist_ok=True)
+    cfg = build_cfg(args.batch)
+    H, W = args.height, args.width
+    T = (args.frames // args.batch) * args.batch
+
+    # ---------------- run A: uninterrupted
+    ckpt_a = os.path.join(args.workdir, "a.npz")
+    if os.path.exists(ckpt_a):
+        os.unlink(ckpt_a)
+    rss = []
+    t0 = time.perf_counter()
+    rows_a, carry_a = run_soak(cfg, H, W, T, ckpt_a, rss_samples=rss)
+    dt = time.perf_counter() - t0
+    fps = T / dt
+    flat_a = np.concatenate(rows_a, axis=0)
+    h5_a = os.path.join(args.workdir, "a.h5")
+    write_tracks_hdf5(h5_a, [tuple(r) for r in flat_a])
+
+    # bounded RSS: second-half growth
+    half = len(rss) // 2
+    rss_growth = rss[-1][1] - rss[half][1] if len(rss) >= 2 else 0.0
+    assert rss_growth < args.rss_slack, (rss_growth, rss)
+
+    # ---------------- run B: kill at half, resume, finish
+    ckpt_b = os.path.join(args.workdir, "b.npz")
+    if os.path.exists(ckpt_b):
+        os.unlink(ckpt_b)
+    nbatches = T // args.batch
+    try:
+        run_soak(cfg, H, W, T, ckpt_b, abort_at_batch=nbatches // 2,
+                 ckpt_every=64)
+    except Abort:
+        pass
+    rows_b, carry_b = run_soak(cfg, H, W, T, ckpt_b, resume=True,
+                               ckpt_every=64)
+    flat_b = np.concatenate(rows_b, axis=0)
+    h5_b = os.path.join(args.workdir, "b.h5")
+    write_tracks_hdf5(h5_b, [tuple(r) for r in flat_b])
+    with open(h5_a, "rb") as fa, open(h5_b, "rb") as fb:
+        identical = fa.read() == fb.read()
+    assert identical, "resumed HDF5 differs from uninterrupted run"
+
+    # ---------------- float64 background-drift oracle on an interior crop
+    import cv2
+
+    y0, x0, CS, M = H // 3, W // 3, 64, 4  # crop + blur margin
+    bg64 = None
+    k = cv2.getGaussianKernel(cfg.blur.ksize, cfg.blur.sigma)
+    k2 = (k @ k.T).astype(np.float64)
+    a = np.float64(cfg.background.alpha)
+    CHUNK = 512
+    for t in range(0, T, CHUNK):
+        crop = render_frames_np(
+            H, W, t, min(CHUNK, T - t),
+            region=(y0 - M, x0 - M, CS + 2 * M, CS + 2 * M),
+        ).astype(np.float64)
+        for i in range(crop.shape[0]):
+            blurred = cv2.filter2D(crop[i], -1, k2)[M:-M, M:-M]
+            if bg64 is None:
+                bg64 = blurred.copy()
+            else:
+                bg64 = (1.0 - a) * bg64 + a * blurred
+    bg32 = np.asarray(carry_a.bg)[y0:y0 + CS, x0:x0 + CS].astype(np.float64)
+    drift = float(np.abs(bg32 - bg64).max())
+
+    result = {
+        "metric": "config-4 soak",
+        "frames": T,
+        "resolution": f"{H}x{W}",
+        "fps": round(fps, 1),
+        "rows": int(len(flat_a)),
+        "rss_mb_final": round(rss[-1][1], 1) if rss else None,
+        "rss_growth_2nd_half_mb": round(rss_growth, 1),
+        "resume_hdf5_byte_identical": bool(identical),
+        "bg_drift_f32_vs_f64_max_abs": drift,
+    }
+    print(json.dumps(result))
+    with open("SOAK_100K.json", "w") as fh:
+        json.dump(result, fh, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

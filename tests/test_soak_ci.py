@@ -1,0 +1,93 @@
+"""CI-scale version of the config-4 soak (bench/soak_100k.py): the same
+kill/resume byte-identity and drift-oracle machinery at toy size on the
+CPU backend (the full 100k-frame 1080p run executes on TPU and records
+SOAK_100K.json)."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def soak():
+    spec = importlib.util.spec_from_file_location(
+        "soak_100k",
+        os.path.join(os.path.dirname(__file__), "..", "bench",
+                     "soak_100k.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_renderers_agree(soak):
+    import jax.numpy as jnp
+
+    H, W = 96, 160
+    render = soak.make_render_jax(H, W, 8)
+    dev = np.asarray(render(jnp.int32(1234)))
+    host = soak.render_frames_np(H, W, 1234, 8)
+    np.testing.assert_array_equal(dev, host)
+    # region rendering slices the same scene
+    win = soak.render_frames_np(H, W, 1234, 8, region=(10, 20, 32, 48))
+    np.testing.assert_array_equal(win, host[:, 10:42, 20:68])
+
+
+def test_soak_kill_resume_byte_identical(soak, tmp_path):
+    from tpuva.export.hdf5io import write_tracks_hdf5
+
+    cfg = soak.build_cfg(batch=8)
+    H, W, T = 96, 160, 256
+
+    ckpt_a = str(tmp_path / "a.npz")
+    rows_a, carry_a = soak.run_soak(cfg, H, W, T, ckpt_a, ckpt_every=8)
+    flat_a = np.concatenate(rows_a, axis=0)
+    assert len(flat_a) > 0
+
+    ckpt_b = str(tmp_path / "b.npz")
+    with pytest.raises(soak.Abort):
+        soak.run_soak(cfg, H, W, T, ckpt_b, abort_at_batch=16,
+                      ckpt_every=8)
+    rows_b, carry_b = soak.run_soak(cfg, H, W, T, ckpt_b, resume=True,
+                                    ckpt_every=8)
+    flat_b = np.concatenate(rows_b, axis=0)
+
+    h5_a, h5_b = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    write_tracks_hdf5(h5_a, [tuple(r) for r in flat_a])
+    write_tracks_hdf5(h5_b, [tuple(r) for r in flat_b])
+    assert open(h5_a, "rb").read() == open(h5_b, "rb").read()
+    np.testing.assert_array_equal(
+        np.asarray(carry_a.bg), np.asarray(carry_b.bg)
+    )
+
+
+def test_soak_drift_oracle_small(soak):
+    """f32 device recurrence vs f64 host recurrence on the same frames —
+    drift stays tiny at CI scale (the 100k number lands in SOAK_100K.json)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import init_carry, process_batch
+
+    cfg = soak.build_cfg(batch=8)
+    H, W, T = 96, 160, 128
+    render = soak.make_render_jax(H, W, 8)
+    carry = init_carry(cfg, H, W)
+    for t in range(0, T, 8):
+        carry, _ = process_batch(cfg, carry, render(jnp.int32(t)))
+
+    y0, x0, CS, M = 32, 48, 32, 4
+    k = cv2.getGaussianKernel(cfg.blur.ksize, cfg.blur.sigma)
+    k2 = (k @ k.T).astype(np.float64)
+    a = np.float64(cfg.background.alpha)
+    bg64 = None
+    fr = soak.render_frames_np(
+        H, W, 0, T, region=(y0 - M, x0 - M, CS + 2 * M, CS + 2 * M)
+    ).astype(np.float64)
+    for i in range(T):
+        blurred = cv2.filter2D(fr[i], -1, k2)[M:-M, M:-M]
+        bg64 = blurred if bg64 is None else (1 - a) * bg64 + a * blurred
+    bg32 = np.asarray(carry.bg)[y0:y0 + CS, x0:x0 + CS].astype(np.float64)
+    assert np.abs(bg32 - bg64).max() < 1e-2
