@@ -46,7 +46,9 @@ def build_config():
             max_dist=80.0, death_patience=5, max_tracks=16,
             assigner="hungarian",
         ),
-        batch=32,
+        # batch 128 amortizes per-batch fixed costs (dispatch, CCL
+        # occupancy/fill, stats tables): ~2200 fps vs ~1960 at batch 32
+        batch=128,
     )
 
 
@@ -163,7 +165,7 @@ def main():
     )
     args = ap.parse_args()
 
-    frames = args.frames or (96 if args.quick else 256)
+    frames = args.frames or (256 if args.quick else 768)
     cpu_frames = args.cpu_frames or (8 if args.quick else 24)
 
     cfg = build_config()
