@@ -98,6 +98,9 @@ def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=32,
     for b in batches[:warmup_batches]:
         carry, out = run(carry, b)
     np.asarray(out["rows"])
+    assert len(batches) > warmup_batches, (
+        "need more frames than warmup batches"
+    )
     t0 = time.perf_counter()
     n_frames = 0
     for _ in range(repeats):
@@ -165,7 +168,7 @@ def main():
     )
     args = ap.parse_args()
 
-    frames = args.frames or (256 if args.quick else 768)
+    frames = args.frames or (512 if args.quick else 768)
     cpu_frames = args.cpu_frames or (8 if args.quick else 24)
 
     cfg = build_config()

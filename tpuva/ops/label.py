@@ -263,6 +263,58 @@ def _strip_view(x: jnp.ndarray, connectivity: int):
     return strips, Qc, Q, perm
 
 
+def _strip_rows(x: jnp.ndarray, connectivity: int):
+    """(N, H, W) -> (N, R, 256|512) contiguous HALF-STRIP rows: a pure
+    reshape after edge padding — NO transpose (the gen-2 _strip_view's
+    mid-axis transpose cost ~7 ms per 128-frame 1080p batch). For 8-conn,
+    strip q's spatial halves live at rows ((q//Qc)*2 + h)*Qc + q%Qc,
+    h in {0, 1}; 4-conn strips are whole rows. Returns
+    (xr, Qc, Q, halves)."""
+    N, H, W = x.shape
+    if connectivity == 8:
+        Hb = (H + 1) // 2
+        He = 2 * Hb
+        Qc = -(-((W + 1) // 2) // 128)
+        Wp = Qc * 256
+        xp = jnp.pad(x, ((0, 0), (0, He - H), (0, Wp - W)))
+        return xp.reshape(N, Hb * 2 * Qc, 256), Qc, Hb * Qc, 2
+    Qc = -(-W // 512)
+    Wp = Qc * 512
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W)))
+    return xp.reshape(N, H * Qc, 512), Qc, H * Qc, 1
+
+
+def _strip_row_index(q, h: int, Qc: int):
+    """Row index in the half-strip layout of strip q's half h."""
+    return ((q // Qc) * 2 + h) * Qc + (q % Qc)
+
+
+def _gather_strips(xr, q_idx, Qc: int, halves: int):
+    """xr (N, R, S), q_idx (N, K) -> (N, K, 512) strips in SPATIAL slot
+    order ([row0 cols | row1 cols] for 8-conn) via 1-2 small row gathers."""
+    if halves == 1:
+        return jnp.take_along_axis(xr, q_idx[:, :, None], axis=1)
+    parts = [
+        jnp.take_along_axis(
+            xr, _strip_row_index(q_idx, h, Qc)[:, :, None], axis=1
+        )
+        for h in (0, 1)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _per_strip(rows_stat, Qc: int, halves: int, combine):
+    """(N, R) per-half-row statistic -> (N, Q) per-strip via `combine`
+    (tiny reshaped reduction, no transpose of the bulk data)."""
+    if halves == 1:
+        return rows_stat
+    N, R = rows_stat.shape
+    Hb = R // (2 * Qc)
+    return combine(
+        rows_stat.reshape(N, Hb, 2, Qc), axis=2
+    ).reshape(N, Hb * Qc)
+
+
 @lru_cache(maxsize=32)
 def _strip_keys(H: int, W: int, connectivity: int, Qc: int, Q: int):
     """Static (Q, 512) int32 map: scan key K of every strip slot, in strip
@@ -296,45 +348,6 @@ def _strip_view_meta(connectivity: int):
     else:
         perm = np.arange(512, dtype=np.int32)
     return None, None, None, perm
-
-
-def _root_table_strips(rs, Qc: int, Q: int, connectivity: int,
-                       max_components: int, H: int, W: int):
-    """_root_table computed from an existing strip view `rs` of the root
-    map — shares the single full-image pass with the sparse stats path.
-
-    Returns (table (N, C) int32, n_roots (N,) int32)."""
-    N = rs.shape[0]
-    _kmap, _inv, sent = _scan_key(H, W, connectivity)
-    C = max_components
-    cs = jnp.arange(C, dtype=jnp.int32)
-    keys, base, kofs = _strip_keys(H, W, connectivity, Qc, Q)
-    # root-flag test in strip space (fuses into the strip-read reduction)
-    is_root = rs == jnp.asarray(keys)[None] + 1  # (N, Q, 512)
-    counts = jnp.sum(is_root, axis=2, dtype=jnp.int32)  # (N, Q)
-    cum = jnp.cumsum(counts, axis=1)  # inclusive
-    offs = cum - counts
-    n_roots = cum[:, -1]
-    # first strip with cum > c (batched searchsorted compiles poorly; this
-    # is a small (N, Q, C) compare-reduce)
-    chunk_of_c = jnp.sum(
-        cum[:, :, None] <= cs[None, None, :], axis=1, dtype=jnp.int32
-    )
-    chunk_of_c = jnp.minimum(chunk_of_c, Q - 1)
-    r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
-    # gather only the C target strips (full 512-wide minor blocks)
-    strip_vals = jnp.take_along_axis(rs, chunk_of_c[:, :, None], axis=1)
-    kb = jnp.asarray(base)[chunk_of_c]  # (N, C) strip base keys
-    keyrow = kb[:, :, None] + jnp.asarray(kofs)[None, None, :]
-    flag = strip_vals == keyrow + 1  # (N, C, 512) root flags, spatial order
-    _, _, _, perm = _strip_view_meta(connectivity)
-    flag_k = flag[:, :, jnp.asarray(perm)]  # K-offset order
-    cumk = jnp.cumsum(flag_k.astype(jnp.int32), axis=2)
-    pos = jnp.argmax(cumk > r_in_chunk[:, :, None], axis=2).astype(jnp.int32)
-    kval = kb + pos
-    valid = cs[None, :] < n_roots[:, None]
-    table = jnp.where(valid, kval + 1, jnp.int32(sent + 2))
-    return table, n_roots
 
 
 @partial(
@@ -546,23 +559,67 @@ def _stats_from_root(
     overflow = jnp.zeros((N,), jnp.int32)
 
     if sparse_strips and not compute_bbox and not compute_labels:
-        # ONE strip view of the root map feeds the root table, the strip
-        # occupancy, and the sparse payload gather (the gen-1 layout built
-        # a second full-image strip view of the root-flag image here)
-        rs, Qc, Q, _perm = _strip_view(root, connectivity)  # (N, Q, 512)
-        table, n_roots = _root_table_strips(
-            rs, Qc, Q, connectivity, C, H, W
-        )
+        # ONE transpose-free half-strip-row view of the root map; the only
+        # full-image work is the occupancy reduction (bool any) — the root
+        # table is derived from the GATHERED occupied strips (every root
+        # is a foreground pixel, so no root lives outside them; drops are
+        # reported via `overflow`)
+        xr, Qc, Q, halves = _strip_rows(root, connectivity)
+        _keys, base, kofs = _strip_keys(H, W, connectivity, Qc, Q)
+        _kmap2, _inv2, sent = _scan_key(H, W, connectivity)
         K = min(sparse_strips, Q)
-        occ_strip = jnp.any(rs > 0, axis=2)  # (N, Q)
-        overflow = jnp.maximum(
-            occ_strip.sum(axis=1, dtype=jnp.int32) - K, 0
+        occ_strip = _per_strip(
+            jnp.any(xr > 0, axis=2), Qc, halves, jnp.any
+        )  # (N, Q)
+        occ_cum = jnp.cumsum(occ_strip.astype(jnp.int32), axis=1)
+        total_occ = occ_cum[:, -1]
+        overflow = jnp.maximum(total_occ - K, 0)
+        # k-th occupied strip = first q with cum > k, via a compare-reduce
+        # (lax.top_k sorts the whole (N, Q) score array — several ms at
+        # batch 128; this is one fused (N, Q, K) comparison sum)
+        ks = jnp.arange(K, dtype=jnp.int32)
+        safe = jnp.minimum(
+            jnp.sum(
+                (occ_cum[:, :, None] <= ks[None, None, :]).astype(jnp.int32),
+                axis=1,
+            ),
+            Q - 1,
+        )  # (N, K) ascending occupied strip ids
+        sel_valid = ks[None, :] < total_occ[:, None]
+        got = _gather_strips(xr, safe, Qc, halves)  # (N, K, 512)
+        got = jnp.where(sel_valid[:, :, None], got, 0)
+
+        # ---- root table from the gathered strips (all tiny tensors):
+        # strips are in ascending-q order and kofs orders slots within a
+        # strip, so cumulative root counts give cv2's ascending-K id order
+        kb_sel = jnp.asarray(base)[safe]  # (N, K) strip base keys
+        flags = got == kb_sel[:, :, None] + jnp.asarray(kofs)[None, None] + 1
+        cnts = jnp.sum(flags, axis=2, dtype=jnp.int32)  # (N, K)
+        cum = jnp.cumsum(cnts, axis=1)
+        offs = cum - cnts
+        n_roots = cum[:, -1]  # roots in selected strips (drops => overflow)
+        cs = jnp.arange(C, dtype=jnp.int32)
+        chunk_of_c = jnp.minimum(
+            jnp.sum(
+                (cum[:, None, :] <= cs[None, :, None]).astype(jnp.int32),
+                axis=2,
+            ),
+            K - 1,
+        )  # (N, C) index into the K selected strips
+        r_in_chunk = cs[None, :] - jnp.take_along_axis(
+            offs, chunk_of_c, axis=1
         )
-        score = jnp.where(occ_strip, jnp.arange(Q, dtype=jnp.int32)[None], -1)
-        _v, idx = jax.lax.top_k(score, K)  # (N, K) strip ids, -1 pad
-        safe = jnp.maximum(idx, 0)
-        got = jnp.take_along_axis(rs, safe[:, :, None], axis=1)  # (N, K, 512)
-        got = jnp.where((idx >= 0)[:, :, None], got, 0)
+        _m1, _m2, _m3, perm = _strip_view_meta(connectivity)
+        sel_flags = jnp.take_along_axis(
+            flags, chunk_of_c[:, :, None], axis=1
+        )[:, :, jnp.asarray(perm)]  # (N, C, 512) in K-offset order
+        cumk = jnp.cumsum(sel_flags.astype(jnp.int32), axis=2)
+        pos = jnp.argmax(
+            cumk > r_in_chunk[:, :, None], axis=2
+        ).astype(jnp.int32)
+        kval = jnp.take_along_axis(kb_sel, chunk_of_c, axis=1) + pos
+        tvalid = cs[None, :] < n_roots[:, None]
+        table = jnp.where(tvalid, kval + 1, jnp.int32(sent + 2))
         # per-slot global coords reconstructed from the strip id
         slot = jnp.arange(512, dtype=jnp.int32)[None, None, :]
         if connectivity == 8:

@@ -119,14 +119,12 @@ def fused_segment(
     reach_close = (close_ksize // 2) * close_iters * 2 if close_ksize else 0
     P = rb + rm + reach_open + reach_close
     if tile is None:
-        # owned-block dims must be 8/128-aligned for the Mosaic lowering;
-        # the haloed scratch tile (TH+2P, TW+2P) has no such constraint
-        TH = 120 if H > 128 else _ceil_to(H, 8)
-        TW = 512 if W > 512 else _ceil_to(W, 128)
-        # the (N, TH, TW) uint8 mask block lives in VMEM: shrink TH for
-        # large batches so block + scratch stay under the ~16MB VMEM budget
-        while N * TH * TW > 4 * 1024 * 1024 and TH > 16:
-            TH = _ceil_to(TH // 2, 8)
+        # owned-block dims: 32-row aligned (uint8 DMA sublane tiling for
+        # the per-frame mask write-back) x 128-col aligned. The mask
+        # output lives in ANY memory space and is written frame-by-frame
+        # with double-buffered DMA, so tile size is independent of N.
+        TH = 96 if H > 128 else _ceil_to(H, 32)
+        TW = 1024 if W > 1024 else _ceil_to(W, 128)
     else:
         TH, TW = tile
     gh, gw = -(-H // TH), -(-W // TW)
@@ -162,11 +160,19 @@ def fused_segment(
     a = float(alpha)
     thr = float(threshold)
 
-    def kernel(fp_ref, bp_ref, mask_ref, bgout_ref, ftile, bgt, sem, bsem):
+    def kernel(fp_ref, bp_ref, mask_ref, bgout_ref, ftile, bgt, mbuf, sem,
+               bsem, wsem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         y0 = i * TH
         x0 = j * TW
+
+        def mask_wr(slot, t):
+            return pltpu.make_async_copy(
+                mbuf.at[slot],
+                mask_ref.at[t, pl.ds(y0, TH), pl.ds(x0, TW)],
+                wsem.at[slot],
+            )
 
         # global image coordinates of every tile pixel (offset by -P)
         gy = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 0) + y0 - P
@@ -271,6 +277,12 @@ def fused_segment(
             # all-zero tile is zero under cv2 border semantics
             any_fg = jnp.max(m) > 0.0
 
+            # double-buffered mask write-back: wait for the slot's
+            # previous in-flight copy before overwriting the buffer
+            @pl.when(t >= 2)
+            def _():
+                mask_wr(slot, t - 2).wait()
+
             @pl.when(any_fg)
             def _(m=m):
                 if open_rows:
@@ -279,7 +291,7 @@ def fused_segment(
                 if close_rows:
                     m = morph(m, close_rows, False, close_iters)
                     m = morph(m, close_rows, True, close_iters)
-                mask_ref[t] = (
+                mbuf[slot] = (
                     (m[P:P + TH, P:P + TW] * 255.0)
                     .astype(jnp.int32)
                     .astype(jnp.uint8)
@@ -287,11 +299,16 @@ def fused_segment(
 
             @pl.when(jnp.logical_not(any_fg))
             def _():
-                mask_ref[t] = jnp.zeros((TH, TW), jnp.uint8)
+                mbuf[slot] = jnp.zeros((TH, TW), jnp.uint8)
 
+            mask_wr(slot, t).start()
             return carry
 
         lax.fori_loop(0, N, body, 0)
+        # drain the last two in-flight mask copies (N is static)
+        if N >= 2:
+            mask_wr(N % 2, N - 2).wait()
+        mask_wr((N - 1) % 2, N - 1).wait()
         bgout_ref[:, :] = bgt[P:P + TH, P:P + TW]
 
     masks, bg_out = pl.pallas_call(
@@ -302,9 +319,7 @@ def fused_segment(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (N, TH, TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -314,8 +329,10 @@ def fused_segment(
         scratch_shapes=[
             pltpu.VMEM((2, SH, SW), jnp.uint8),
             pltpu.VMEM((SH, SW), jnp.float32),
+            pltpu.VMEM((2, TH, TW), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(fp, bp)
