@@ -157,17 +157,39 @@ def _post_mask_stage(
     """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
     path — see process_batch_staged).
 
+    Gen-4 tail: the RAW-buffer CCL kernel (no label-map fill, no epilogue
+    pass) feeds _stats_from_raw, whose only label reads are row gathers of
+    occupied strips. The single remaining full-image op after the mask is
+    the strip-occupancy reduction over the uint8 mask itself.
+
     Stats use the sparse-strip contraction (capacity `sparse_strips` x 512
     foreground pixels per frame); frames exceeding it are reported in
     out["stats_overflow"] (their stats silently drop the excess strips —
     raise the capacity if the workload is that dense)."""
-    from tpuva.ops.label import _stats_from_root
-    from tpuva.ops.pallas.ccl import label_components_tiled
+    from tpuva.ops.label import _stats_from_raw
+    from tpuva.ops.pallas.ccl import label_components_tiled_raw
 
-    root, ccl_converged = label_components_tiled(mask, return_converged=True)
-    stats = _stats_from_root(
-        root, max_components=max_components, compute_bbox=False,
-        compute_labels=False, sparse_strips=sparse_strips,
+    N, H, W = mask.shape
+    Hp, Wp = -(-H // 64) * 64, -(-W // 256) * 256
+    mp = (
+        mask
+        if (Hp, Wp) == (H, W)
+        else jnp.pad(mask, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    )
+    # per-(2-row x 256-col) scan-key-strip occupancy: the shared source of
+    # truth for CCL tile skipping, halo masking, AND the stats gather
+    o1 = lax.reduce_window(
+        mp, jnp.uint8(0), lax.max, (1, 1, 256), (1, 1, 256), "VALID"
+    )
+    strip_occ = lax.reduce_window(
+        o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+    )
+    labraw, ccl_converged = label_components_tiled_raw(
+        mp, strip_occ, H, W
+    )
+    stats = _stats_from_raw(
+        labraw, strip_occ, H, W,
+        max_components=max_components, sparse_strips=sparse_strips,
     )
     carry2, out = _finish_batch(
         cfg, carry, stats, mask, bg_last, return_masks

@@ -732,6 +732,137 @@ def _stats_from_root(
     return out
 
 
+@partial(
+    jax.jit, static_argnames=("H", "W", "max_components", "sparse_strips")
+)
+def _stats_from_raw(
+    labraw: jnp.ndarray,
+    strip_occ: jnp.ndarray,
+    H: int,
+    W: int,
+    max_components: int = 64,
+    sparse_strips: int = 256,
+):
+    """Sparse-strip stats directly from the RAW padded CCL buffer
+    (tpuva.ops.pallas.ccl.label_components_tiled_raw) — the gen-4 tail.
+
+    The label buffer is touched ONLY by tiny row gathers of occupied
+    strips (regions the CCL kernel never wrote are never read); occupancy
+    comes from the caller's mask-derived `strip_occ`, so there is no
+    full-image pass anywhere in stats assembly. Semantics (root table in
+    cv2 ascending-key order, 6-bit-limb MXU payload contraction, overflow
+    reporting) are identical to _stats_from_root's sparse path —
+    bit-equality is pinned by tests/test_ccl_raw.py.
+
+    8-connectivity only. labraw: (Nfp, Hp+16, Wp+512) int32 raw scan keys
+    (image pixel (y, x) at buffer (y+8, x+256)); strip_occ:
+    (N, Hp//2, Wp//256) any-mask flag per (2x256) key strip. Returns the
+    _stats_from_root dict with labels/bbox zeroed (the tracking pipeline
+    does not consume them; XLA DCEs the zero tensors)."""
+    N, Hbp, Qcp = strip_occ.shape
+    Nfp, Hbuf, Wbuf = labraw.shape
+    CPR = Wbuf // 256  # 256-col chunks per buffer row
+    C = max_components
+    _kmap2, _inv2, sent = _scan_key(H, W, 8)
+    Q = Hbp * Qcp
+    K = min(sparse_strips, Q)
+    _keys, base, kofs = _strip_keys(H, W, 8, Qcp, Q)
+
+    occ_strip = strip_occ.reshape(N, Q) != 0
+    occ_cum = jnp.cumsum(occ_strip.astype(jnp.int32), axis=1)
+    total_occ = occ_cum[:, -1]
+    overflow = jnp.maximum(total_occ - K, 0)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    safe = jnp.minimum(
+        jnp.sum(
+            (occ_cum[:, :, None] <= ks[None, None, :]).astype(jnp.int32),
+            axis=1,
+        ),
+        Q - 1,
+    )  # (N, K) ascending occupied strip ids
+    sel_valid = ks[None, :] < total_occ[:, None]
+
+    # strip q = (block-row b, chunk c) lives at buffer rows 8 + 2b + h,
+    # buffer chunk c + 1 (the 256-col left margin is exactly one chunk)
+    b = safe // Qcp
+    c = safe % Qcp
+    nrow = jnp.arange(N, dtype=jnp.int32)[:, None]
+    xrf = labraw.reshape(Nfp * Hbuf * CPR, 256)
+    halves = [
+        jnp.take(
+            xrf,
+            (nrow * Hbuf + (8 + 2 * b + h)) * CPR + (c + 1),
+            axis=0,
+        )
+        for h in (0, 1)
+    ]
+    got = jnp.concatenate(halves, axis=-1)  # (N, K, 512) spatial order
+    got = jnp.where(sel_valid[:, :, None], got, jnp.int32(-1))
+
+    # root table: a pixel is a root iff its label equals its own scan key.
+    # The `got < sent` guard matters for strips spanning past the image
+    # edge: an out-of-image slot holds SENT, and its (meaningless) static
+    # expected key base+kofs can alias SENT exactly — without the guard
+    # those slots flag as phantom roots (caught by
+    # tests/test_ccl_raw.py::test_random_masks_match_dense_path at W=100).
+    kb_sel = jnp.asarray(base)[safe]  # (N, K)
+    flags = (
+        got == kb_sel[:, :, None] + jnp.asarray(kofs)[None, None]
+    ) & (got < jnp.int32(sent))
+    cnts = jnp.sum(flags, axis=2, dtype=jnp.int32)
+    cum = jnp.cumsum(cnts, axis=1)
+    offs = cum - cnts
+    n_roots = cum[:, -1]
+    cs = jnp.arange(C, dtype=jnp.int32)
+    chunk_of_c = jnp.minimum(
+        jnp.sum(
+            (cum[:, None, :] <= cs[None, :, None]).astype(jnp.int32),
+            axis=2,
+        ),
+        K - 1,
+    )
+    r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
+    _m1, _m2, _m3, perm = _strip_view_meta(8)
+    sel_flags = jnp.take_along_axis(
+        flags, chunk_of_c[:, :, None], axis=1
+    )[:, :, jnp.asarray(perm)]  # (N, C, 512) in K-offset order
+    cumk = jnp.cumsum(sel_flags.astype(jnp.int32), axis=2)
+    pos = jnp.argmax(cumk > r_in_chunk[:, :, None], axis=2).astype(jnp.int32)
+    kval = jnp.take_along_axis(kb_sel, chunk_of_c, axis=1) + pos
+    tvalid = cs[None, :] < n_roots[:, None]
+    table = jnp.where(tvalid, kval, jnp.int32(sent + 2))
+
+    slot = jnp.arange(512, dtype=jnp.int32)[None, None, :]
+    y = 2 * b[:, :, None] + (slot >= 256).astype(jnp.int32)
+    x = c[:, :, None] * 256 + slot % 256
+    eq = (
+        got.reshape(N, K * 512)[:, :, None] == table[:, None, :]
+    ).astype(jnp.bfloat16)  # (N, K*512, C)
+    payload = jnp.stack(
+        [
+            jnp.ones_like(x),
+            x & 63, (x >> 6) & 63, x >> 12,
+            y & 63, (y >> 6) & 63, y >> 12,
+        ],
+        axis=-1,
+    ).reshape(N, K * 512, 7).astype(jnp.bfloat16)
+    sums = jnp.einsum(
+        "npc,npk->nck", eq, payload, preferred_element_type=jnp.float32
+    )  # (N, C, 7)
+    count, area, centroid, csum, present = _assemble_stats(
+        sums, n_roots, H, W, C
+    )
+    return {
+        "labels": jnp.zeros((N, H, W), jnp.int32),
+        "count": count,
+        "area": area,
+        "bbox": jnp.zeros((N, C + 1, 4), jnp.int32),
+        "centroid": centroid,
+        "centroid_sum": csum,
+        "overflow": overflow,
+    }
+
+
 @partial(jax.jit, static_argnames=("max_blobs",))
 def extract_detections(stats: dict, min_area: int, max_blobs: int = 8):
     """Area-filter components and pack the first `max_blobs` (in cv2 label

@@ -466,3 +466,344 @@ def label_components_tiled(
     if return_converged:
         return out, converged
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "tile", "max_rounds", "frames_per_step", "max_run",
+    ),
+)
+def label_components_tiled_raw(
+    mask_padded: jnp.ndarray,
+    strip_occ: jnp.ndarray,
+    H: int,
+    W: int,
+    tile: tuple = (64, 256),
+    max_rounds: int = 64,
+    frames_per_step: int = 4,
+    max_run: int = 128,
+):
+    """Fourth-generation tail: CCL without ANY full-image HBM pass.
+
+    Same propagation algorithm as label_components_tiled, but the label
+    buffer is never initialized and never post-processed:
+
+    - No SENT fill: pass 1 allocates the int32 buffer uninitialized and
+      writes only occupied tiles. Halo reads are masked in-kernel by the
+      PER-FRAME occupancy of the owning neighbor tile (scalar-prefetched):
+      an unoccupied neighbor's halo is replaced by SENT — exactly the
+      value the old full-buffer fill would have provided — so the monotone
+      min-propagation semantics are bit-identical while the ~1.3 GB/batch
+      fill disappears. In pass 1 (forward raster) halos from tiles not yet
+      visited this pass are additionally masked to SENT (again identical
+      to reading the old fill).
+    - No epilogue: the return value is the RAW padded key buffer
+      (scan key K for mask pixels, SENT for background, UNDEFINED outside
+      written tiles) for _stats_from_raw (tpuva.ops.label) to consume via
+      strip gathers that only ever touch occupied (written) strips.
+
+    8-connectivity only (the pipeline contract, tpuva/graph/config.py).
+
+    Args:
+      mask_padded: (N, Hp, Wp) uint8, zero outside the true (H, W) image;
+        Hp % tile[0] == 0, Wp % tile[1] == 0.
+      strip_occ: (N, Hp//2, Wp//256) uint8/int32/bool — any-mask flag per
+        (2-row x 256-col) block (= one scan-key strip).
+      H, W: true image size (static; defines the scan-key bijection).
+
+    Returns (labraw, converged):
+      labraw: (Nf*F, Hp + 16, Wp + 512) int32 — image pixel (y, x) lives
+        at buffer (y + 8, x + 256). Strips of 256 columns are aligned to
+        the buffer minor axis, so (..., 256)-reshapes need no copy.
+      converged: ()-bool, False if the round cap was hit.
+    """
+    TH, TW = tile
+    assert TW == 256, "raw CCL ties tile width to the 256-px strip"
+    N, Hp, Wp = mask_padded.shape
+    assert Hp % TH == 0 and Wp % TW == 0
+    _kmap, _inv, sent_base = _scan_key(H, W, 8)
+    SENT = sent_base + 1
+    Wb = (W + 1) // 2
+    F = max(1, min(frames_per_step, N))
+    Nf = -(-N // F)
+    Nfp = Nf * F
+    gh, gw = Hp // TH, Wp // TW
+    # buffer margins: 8 rows / 256 cols on every side (256 keeps strips
+    # chunk-aligned in the buffer reshape); the DMA window stays the same
+    # (TH+16, TW+256) as the dense kernel, offset 128 cols into the margin
+    PT, PLW = 8, 128  # in-WINDOW halo origin (same geometry as gen 3)
+    MR, MC = 8, 256  # buffer margins
+    SH, SW = TH + 2 * PT, TW + 2 * PLW
+    Hbuf, Wbuf = Hp + 2 * MR, Wp + 2 * MC
+
+    if Nfp != N:
+        mask_padded = jnp.pad(mask_padded, ((0, Nfp - N), (0, 0), (0, 0)))
+        strip_occ = jnp.pad(strip_occ, ((0, Nfp - N), (0, 0), (0, 0)))
+
+    # per-(frame, tile) occupancy from the strip flags (tiny reduction)
+    occf3 = lax.reduce_window(
+        strip_occ.astype(jnp.int32),
+        jnp.int32(0), lax.max, (1, TH // 2, 1), (1, TH // 2, 1), "VALID",
+    )  # (Nfp, gh, gw)
+    occf = occf3.reshape(-1)  # [(t * gh + i) * gw + j]
+    occ3 = occf3.reshape(Nf, F, gh, gw).max(axis=1)  # per GROUP tile
+    occ_g = occ3.reshape(-1)
+
+    def make_pass(forward: bool, first: bool):
+        def kernel(fr_ref, occf_ref, *refs):
+            if first:
+                (msk_in, lab_out, flag_ref,
+                 tilebuf, mskbuf, sem_r, sem_m, sem_w) = refs
+            else:
+                lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w = refs
+            nf = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            if not forward:
+                i = pl.num_programs(1) - 1 - i
+                j = pl.num_programs(2) - 1 - j
+            y0 = i * TH  # buffer window rows [y0, y0+SH)
+            xb = j * TW + (MC - PLW)  # buffer window cols [xb, xb+SW)
+            rd = pltpu.make_async_copy(
+                lab_out.at[
+                    pl.ds(nf * F, F), pl.ds(y0, SH), pl.ds(xb, SW)
+                ],
+                tilebuf,
+                sem_r,
+            )
+            flag_ref[0, 0, 0] = 0
+
+            hy = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 0)
+            hx = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 1)
+            owned = (
+                (hy >= PT) & (hy < PT + TH) & (hx >= PLW) & (hx < PLW + TW)
+            )
+            top = hy == PT - 1
+            bot = hy == PT + TH
+            lef = hx == PLW - 1
+            rig = hx == PLW + TW
+            mid_y = (hy >= PT) & (hy < PT + TH)
+            mid_x = (hx >= PLW) & (hx < PLW + TW)
+            on_ring = (
+                (hy == PT) | (hy == PT + TH - 1)
+                | (hx == PLW) | (hx == PLW + TW - 1)
+            ) & owned
+
+            def nb_occ(t, di, dj):
+                ii, jj = i + di, j + dj
+                ok = (ii >= 0) & (ii < gh) & (jj >= 0) & (jj < gw)
+                idx = (
+                    t * gh + jnp.clip(ii, 0, gh - 1)
+                ) * gw + jnp.clip(jj, 0, gw - 1)
+                return jnp.where(ok, occf_ref[idx], 0) != 0
+
+            # pass 1 is a forward raster: tiles below/right (and the
+            # bottom-left diagonal) have not been written yet this pass —
+            # their halo is masked to SENT, exactly what the old SENT
+            # fill provided
+            dirs = (
+                ((-1, -1), top & lef), ((-1, 0), top & mid_x),
+                ((-1, 1), top & rig), ((0, -1), lef & mid_y),
+                ((0, 1), rig & mid_y), ((1, -1), bot & lef),
+                ((1, 0), bot & mid_x), ((1, 1), bot & rig),
+            )
+            if first:
+                dirs = dirs[:4]  # visited neighbors only (forward raster)
+
+            def allowed_mask(t):
+                a = owned
+                for (di, dj), region in dirs:
+                    a = a | (region & nb_occ(t, di, dj))
+                return a
+
+            def sweep_to_fixed_point(v0, mm, precheck: bool):
+                def check(v):
+                    return jnp.any(_nb_min(v, mm, SENT, 8) != v)
+
+                def inner(s):
+                    v, _ = s
+                    nv = _tile_sweep(v, mm, SENT, 8, max_run)
+                    return nv, check(nv)
+
+                ch0 = check(v0) if precheck else jnp.bool_(True)
+                v, _ = lax.while_loop(lambda s: s[1], inner, (v0, ch0))
+                return v
+
+            def write_owned(f):
+                wr = pltpu.make_async_copy(
+                    tilebuf.at[f, pl.ds(PT, TH), pl.ds(PLW, TW)],
+                    lab_out.at[
+                        nf * F + f,
+                        pl.ds(y0 + PT, TH),
+                        pl.ds(xb + PLW, TW),
+                    ],
+                    sem_w,
+                )
+                wr.start()
+                wr.wait()
+
+            def per_frame_first():
+                for f in range(F):
+                    t = nf * F + f
+                    self_occ = occf_ref[(t * gh + i) * gw + j] != 0
+
+                    @pl.when(self_occ)
+                    def _(f=f, t=t):
+                        mi = mskbuf[f].astype(jnp.int32)
+                        rr = jax.lax.broadcasted_iota(
+                            jnp.int32, (TH, TW), 0
+                        ) + i * TH
+                        cc = jax.lax.broadcasted_iota(
+                            jnp.int32, (TH, TW), 1
+                        ) + j * TW
+                        key = (
+                            ((rr >> 1) * Wb + (cc >> 1)) * 4
+                            + (rr & 1) * 2 + (cc & 1)
+                        )
+                        tilebuf[f, PT:PT + TH, PLW:PLW + TW] = jnp.where(
+                            mi != 0, key, jnp.int32(SENT)
+                        )
+                        v0 = jnp.where(
+                            allowed_mask(t), tilebuf[f], jnp.int32(SENT)
+                        )
+                        mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
+                        v = sweep_to_fixed_point(v0, mm, precheck=False)
+                        ring_mask = jnp.max(
+                            jnp.where(on_ring & (v0 <= jnp.int32(sent_base)),
+                                      1, 0)
+                        )
+
+                        @pl.when(ring_mask > 0)
+                        def _():
+                            flag_ref[0, 0, 0] = 1
+                        tilebuf[f] = v
+                        write_owned(f)
+
+            def per_frame_later():
+                for f in range(F):
+                    t = nf * F + f
+                    self_occ = occf_ref[(t * gh + i) * gw + j] != 0
+
+                    @pl.when(self_occ)
+                    def _(f=f, t=t):
+                        allow = allowed_mask(t)
+                        v0 = jnp.where(allow, tilebuf[f], jnp.int32(SENT))
+                        mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
+                        v = sweep_to_fixed_point(v0, mm, precheck=True)
+                        diff = (v != v0) & allow
+                        owned_changed = jnp.any(
+                            diff[PT:PT + TH, PLW:PLW + TW]
+                        )
+                        ring_changed = jnp.max(
+                            jnp.where(on_ring & diff, 1, 0)
+                        )
+
+                        @pl.when(owned_changed)
+                        def _():
+                            @pl.when(ring_changed > 0)
+                            def _():
+                                flag_ref[0, 0, 0] = 1
+                            tilebuf[f] = v
+                            write_owned(f)
+
+            occupied = fr_ref[(nf * gh + i) * gw + j] != 0
+
+            @pl.when(occupied)
+            def _():
+                rd.start()
+                if first:
+                    md = pltpu.make_async_copy(
+                        msk_in.at[
+                            pl.ds(nf * F, F),
+                            pl.ds(i * TH, TH),
+                            pl.ds(j * TW, TW),
+                        ],
+                        mskbuf,
+                        sem_m,
+                    )
+                    md.start()
+                    rd.wait()
+                    md.wait()
+                    per_frame_first()
+                else:
+                    rd.wait()
+                    per_frame_later()
+
+        return kernel
+
+    def flag_index(n, i, j, fr_ref, occf_ref):
+        return ((n * gh + i) * gw + j, 0, 0)
+
+    lab_shape = jax.ShapeDtypeStruct((Nfp, Hbuf, Wbuf), jnp.int32)
+
+    def run_pass(lab, forward: bool, first: bool, fr_eff):
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        inputs = [fr_eff, occf]
+        if first:
+            inputs.append(mask_padded)
+        else:
+            inputs.append(lab)
+        scratch = [pltpu.VMEM((F, SH, SW), jnp.int32)]
+        if first:
+            scratch.append(pltpu.VMEM((F, TH, TW), jnp.uint8))
+            scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Nf, gh, gw),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=scratch,
+        )
+        aliases = {} if first else {2: 0}
+        return pl.pallas_call(
+            make_pass(forward, first),
+            grid_spec=grid_spec,
+            out_shape=[
+                lab_shape,
+                jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32),
+            ],
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=_interpret(),
+        )(*inputs)
+
+    def frontier(flags):
+        f3 = flags.reshape(Nf, gh, gw)
+        fp = jnp.pad(f3, ((0, 0), (1, 1), (1, 1)))
+        nb = jnp.zeros_like(f3)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = jnp.maximum(
+                    nb, fp[:, 1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
+                )
+        return (jnp.minimum(nb, 1) * occ3).reshape(-1)
+
+    lab, flags = run_pass(None, True, True, occ_g)
+    fr = frontier(flags.reshape(-1))
+
+    def cond(state):
+        _lab, fr, _fwd, passes = state
+        return (jnp.max(fr) > 0) & (passes < 2 * max_rounds)
+
+    def body(state):
+        lab, fr, fwd, passes = state
+        lab, flags = lax.cond(
+            fwd,
+            lambda l, f: run_pass(l, True, False, f),
+            lambda l, f: run_pass(l, False, False, f),
+            lab, fr,
+        )
+        return lab, frontier(flags.reshape(-1)), ~fwd, passes + 1
+
+    lab, fr, _, _ = lax.while_loop(
+        cond, body, (lab, fr, jnp.bool_(False), jnp.int32(1))
+    )
+    return lab, jnp.max(fr) == 0
