@@ -76,6 +76,43 @@ def main():
     print(f"label_components_tiled: {dt*1e3:8.2f} ms/batch "
           f"({N/dt:8.1f} fps)")
 
+    # gen-4 sub-stages
+    from jax import lax
+
+    from tpuva.ops.label import _stats_from_raw
+    from tpuva.ops.pallas.ccl import label_components_tiled_raw
+
+    Hp, Wp = -(-H // 64) * 64, -(-W // 256) * 256
+
+    @jax.jit
+    def occ_of(m):
+        mp = (
+            m if (Hp, Wp) == (H, W)
+            else jnp.pad(m, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        )
+        o1 = lax.reduce_window(
+            mp, jnp.uint8(0), lax.max, (1, 1, 256), (1, 1, 256), "VALID"
+        )
+        so = lax.reduce_window(
+            o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+        )
+        return mp, so
+
+    dt, (mp, so) = timeit(occ_of, (mask,))
+    print(f"  strip_occ reduction : {dt*1e3:8.2f} ms/batch")
+    dt, (labraw, _c) = timeit(
+        lambda m, s: label_components_tiled_raw(m, s, H, W), (mp, so)
+    )
+    print(f"label_components_raw  : {dt*1e3:8.2f} ms/batch "
+          f"({N/dt:8.1f} fps)")
+    dt, _ = timeit(
+        lambda l, s: _stats_from_raw(
+            l, s, H, W, max_components=MC, sparse_strips=256
+        ),
+        (labraw, so),
+    )
+    print(f"_stats_from_raw       : {dt*1e3:8.2f} ms/batch")
+
     dt, _ = timeit(
         lambda r: _root_table(r, 8, MC), (root,)
     )

@@ -117,6 +117,86 @@ def test_staged_path_matches_process_batch():
     np.testing.assert_array_equal(np.asarray(c1.bg), np.asarray(c2.bg))
 
 
+def test_padded_occ_output_matches_cropped():
+    """fused_segment(padded_occ=True) must return (a) the same mask as the
+    cropped path inside the image, (b) exact zeros outside it, and (c)
+    occ128 equal to a reduce_window occupancy of the padded mask."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpuva.ops.pallas import fused_segment
+
+    clip, _, plate = moving_disk_clip(
+        h=120, w=200, frames=6, radius=9, noise_sigma=4.0, seed=13
+    )
+    kw = dict(
+        alpha=0.05, threshold=35.0, blur_ksize=5, blur_sigma=0.0,
+        open_ksize=3, open_shape="rect",
+    )
+    f = jnp.asarray(clip)
+    b0 = jnp.asarray(plate, dtype=jnp.float32)
+    m_crop, bg_crop = fused_segment(f, b0, **kw)
+    m_pad, bg_pad, occ = fused_segment(f, b0, padded_occ=True, **kw)
+    assert m_pad.shape == (6, 128, 256)
+    np.testing.assert_array_equal(
+        np.asarray(m_pad)[:, :120, :200], np.asarray(m_crop)
+    )
+    assert int(np.asarray(m_pad)[:, 120:, :].max()) == 0
+    assert int(np.asarray(m_pad)[:, :, 200:].max()) == 0
+    np.testing.assert_array_equal(np.asarray(bg_pad), np.asarray(bg_crop))
+    ref_occ = lax.reduce_window(
+        m_pad, jnp.uint8(0), lax.max, (1, 2, 128), (1, 2, 128), "VALID"
+    )
+    np.testing.assert_array_equal(
+        (np.asarray(occ) != 0), (np.asarray(ref_occ) != 0)
+    )
+
+
+def test_staged_padded_handoff_matches_process_batch():
+    """Dims where the fused grid aligns to the CCL tiling (Hp%64==0,
+    Wp%256==0) take the no-crop padded handoff — must still bit-match the
+    single-jit jnp path, including the out-of-image margins."""
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import (
+        collect_rows,
+        init_carry,
+        process_batch,
+        process_batch_staged,
+    )
+    from tpuva.ops.pallas.fused_segment import fused_tile
+
+    h, w = 120, 200
+    _, _, hp, wp = fused_tile(h, w)
+    assert hp % 64 == 0 and wp % 256 == 0  # guard: this IS the fast path
+    clip, _, plate = moving_disk_clip(
+        h=h, w=w, frames=16, radius=8, noise_sigma=2.0, seed=21
+    )
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.05),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        segment=SegmentConfig(threshold=35.0, min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    c1 = init_carry(cfg, h, w, plate)
+    c2 = init_carry(cfg, h, w, plate)
+    rows1, rows2 = [], []
+    for s in range(0, 16, 8):
+        b = jnp.asarray(clip[s : s + 8])
+        c1, o1 = process_batch(cfg, c1, b)
+        c2, o2 = process_batch_staged(cfg, c2, b, return_masks=True)
+        assert o2["masks"].shape == (8, h, w)
+        rows1.extend(collect_rows(o1["rows"], o1["row_valid"],
+                                  row_sums=o1["row_sums"]))
+        rows2.extend(collect_rows(o2["rows"], o2["row_valid"],
+                                  row_sums=o2["row_sums"]))
+        assert int(np.asarray(o2["stats_overflow"]).max()) == 0
+    assert rows1 == rows2
+    np.testing.assert_array_equal(np.asarray(c1.bg), np.asarray(c2.bg))
+
+
 def test_fused_with_median():
     """Fused median (k=3, BORDER_REPLICATE via clamped reads) bit-matches
     the jnp path, including image borders."""

@@ -113,8 +113,11 @@ def _can_fuse(cfg: PipelineConfig) -> bool:
     ) and cfg.segment.threshold != "otsu"
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _fused_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
+@partial(jax.jit, static_argnames=("cfg", "padded_occ"))
+def _fused_mask_stage(
+    cfg: PipelineConfig, carry: "PipelineCarry", frames,
+    padded_occ: bool = False,
+):
     from tpuva.ops.pallas import fused_segment
 
     bg0 = jnp.where(
@@ -125,6 +128,7 @@ def _fused_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
     return fused_segment(
         frames,
         bg0,
+        padded_occ=padded_occ,
         alpha=cfg.background.alpha,
         threshold=cfg.segment.threshold,
         blur_ksize=cfg.blur.ksize if cfg.blur else 0,
@@ -143,7 +147,9 @@ def _fused_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "return_masks", "max_components", "sparse_strips"),
+    static_argnames=(
+        "cfg", "return_masks", "max_components", "sparse_strips", "H", "W",
+    ),
 )
 def _post_mask_stage(
     cfg: PipelineConfig,
@@ -153,14 +159,27 @@ def _post_mask_stage(
     return_masks: bool = False,
     max_components: int = 64,
     sparse_strips: int = 256,
+    occ128: jnp.ndarray | None = None,
+    H: int | None = None,
+    W: int | None = None,
 ):
     """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
     path — see process_batch_staged).
 
     Gen-4 tail: the RAW-buffer CCL kernel (no label-map fill, no epilogue
     pass) feeds _stats_from_raw, whose only label reads are row gathers of
-    occupied strips. The single remaining full-image op after the mask is
-    the strip-occupancy reduction over the uint8 mask itself.
+    occupied strips.
+
+    Two entry shapes:
+    - occ128 given (fast path): `mask` is the fused kernel's UNCROPPED
+      (N, Hp, Wp) padded mask (zero outside the true (H, W) image) and
+      occ128 its in-kernel (2-row x 128-col) occupancy — no full-image op
+      of any kind runs here; the (2x256) strip occupancy is a pairwise max
+      over the tiny occ128 array.
+    - occ128 None: `mask` is the cropped (N, H, W) mask; it is zero-padded
+      to the CCL grid and occupancy is reduced from it (one full-image
+      pass). Used when the fused grid doesn't align to the CCL tiling and
+      by non-fused callers.
 
     Stats use the sparse-strip contraction (capacity `sparse_strips` x 512
     foreground pixels per frame); frames exceeding it are reported in
@@ -169,21 +188,30 @@ def _post_mask_stage(
     from tpuva.ops.label import _stats_from_raw
     from tpuva.ops.pallas.ccl import label_components_tiled_raw
 
-    N, H, W = mask.shape
-    Hp, Wp = -(-H // 64) * 64, -(-W // 256) * 256
-    mp = (
-        mask
-        if (Hp, Wp) == (H, W)
-        else jnp.pad(mask, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    )
-    # per-(2-row x 256-col) scan-key-strip occupancy: the shared source of
-    # truth for CCL tile skipping, halo masking, AND the stats gather
-    o1 = lax.reduce_window(
-        mp, jnp.uint8(0), lax.max, (1, 1, 256), (1, 1, 256), "VALID"
-    )
-    strip_occ = lax.reduce_window(
-        o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
-    )
+    if occ128 is not None:
+        N = mask.shape[0]
+        mp = mask
+        mfin = mask[:, :H, :W]  # DCE'd unless return_masks
+        Nn, Hb, Qc2 = occ128.shape
+        strip_occ = occ128.reshape(Nn, Hb, Qc2 // 2, 2).max(axis=3)
+    else:
+        N, H, W = mask.shape
+        mfin = mask
+        Hp, Wp = -(-H // 64) * 64, -(-W // 256) * 256
+        mp = (
+            mask
+            if (Hp, Wp) == (H, W)
+            else jnp.pad(mask, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        )
+        # per-(2-row x 256-col) scan-key-strip occupancy: the shared
+        # source of truth for CCL tile skipping, halo masking, AND the
+        # stats gather
+        o1 = lax.reduce_window(
+            mp, jnp.uint8(0), lax.max, (1, 1, 256), (1, 1, 256), "VALID"
+        )
+        strip_occ = lax.reduce_window(
+            o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+        )
     labraw, ccl_converged = label_components_tiled_raw(
         mp, strip_occ, H, W
     )
@@ -192,7 +220,7 @@ def _post_mask_stage(
         max_components=max_components, sparse_strips=sparse_strips,
     )
     carry2, out = _finish_batch(
-        cfg, carry, stats, mask, bg_last, return_masks
+        cfg, carry, stats, mfin, bg_last, return_masks
     )
     out["stats_overflow"] = stats["overflow"]
     out["ccl_converged"] = ccl_converged
@@ -253,7 +281,25 @@ def process_batch_staged(
     Dispatches chain asynchronously on device — the host never blocks
     between them — while keeping per-stage XLA programs small: compiling
     the fused mask kernel together with the CCL while-loop sends compile
-    time superlinear (~200s vs ~20s total for the stages)."""
+    time superlinear (~200s vs ~20s total for the stages).
+
+    When the fused kernel's padded grid aligns to the CCL tiling (64-row /
+    256-col; true at 1080p), the stages hand off the UNCROPPED padded mask
+    plus in-kernel strip occupancy — no crop, re-pad, or full-image
+    occupancy reduction between them."""
+    from tpuva.ops.pallas.fused_segment import fused_tile
+
+    N, H, W = frames.shape
+    _th, _tw, Hp, Wp = fused_tile(H, W)
+    if Hp % 64 == 0 and Wp % 256 == 0:
+        mask, bg_last, occ128 = _fused_mask_stage(
+            cfg, carry, frames, padded_occ=True
+        )
+        return _post_mask_stage(
+            cfg, carry, mask, bg_last,
+            return_masks=return_masks, max_components=max_components,
+            sparse_strips=sparse_strips, occ128=occ128, H=H, W=W,
+        )
     mask, bg_last = _fused_mask_stage(cfg, carry, frames)
     return _post_mask_stage(
         cfg, carry, mask, bg_last,

@@ -83,12 +83,21 @@ def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def fused_tile(H: int, W: int) -> tuple:
+    """Default tile choice: (TH, TW, Hp, Wp). Exposed so callers (e.g. the
+    staged pipeline) can predict the padded grid and pick the
+    padded-output fast path when it aligns with the CCL tiling."""
+    TH = 96 if H > 128 else _ceil_to(H, 32)
+    TW = 1024 if W > 1024 else _ceil_to(W, 128)
+    return TH, TW, -(-H // TH) * TH, -(-W // TW) * TW
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "alpha", "threshold", "blur_ksize", "blur_sigma", "median_ksize",
         "open_shape", "open_ksize", "open_iters",
-        "close_shape", "close_ksize", "close_iters", "tile",
+        "close_shape", "close_ksize", "close_iters", "tile", "padded_occ",
     ),
 )
 def fused_segment(
@@ -107,8 +116,18 @@ def fused_segment(
     close_ksize: int = 0,
     close_iters: int = 1,
     tile: tuple | None = None,
+    padded_occ: bool = False,
 ):
-    """Returns (masks (N, H, W) uint8 0/255, bg_out (H, W) float32)."""
+    """Returns (masks (N, H, W) uint8 0/255, bg_out (H, W) float32).
+
+    With padded_occ=True, returns (masks_padded, bg_out, occ128) instead:
+    masks_padded is the UNCROPPED (N, Hp, Wp) grid-cover mask with
+    out-of-image pixels forced to 0 (so it can feed the tiled CCL with no
+    crop/re-pad roundtrip), and occ128 is (N, Hp//2, Wp//128) uint8 —
+    any-foreground per (2-row x 128-col) block, computed in-VMEM from the
+    just-written mask tile via two tiny MXU matmuls (for a 0/1 mask,
+    sum > 0 <=> max > 0). The caller derives the CCL's (2x256)
+    scan-key-strip occupancy by pairing adjacent 128-col flags."""
     N, H, W = frames.shape
     rb = blur_ksize // 2
     assert median_ksize in (0, 3), "fused median supports k=3 only"
@@ -123,10 +142,11 @@ def fused_segment(
         # the per-frame mask write-back) x 128-col aligned. The mask
         # output lives in ANY memory space and is written frame-by-frame
         # with double-buffered DMA, so tile size is independent of N.
-        TH = 96 if H > 128 else _ceil_to(H, 32)
-        TW = 1024 if W > 1024 else _ceil_to(W, 128)
+        TH, TW = fused_tile(H, W)[:2]
     else:
         TH, TW = tile
+    if padded_occ:
+        assert TH % 2 == 0 and TW % 128 == 0
     gh, gw = -(-H // TH), -(-W // TW)
     Hp, Wp = gh * TH, gw * TW
     # DMA slice shapes must be (8, 128)-aligned: keep the logical halo P on
@@ -160,12 +180,39 @@ def fused_segment(
     a = float(alpha)
     thr = float(threshold)
 
-    def kernel(fp_ref, bp_ref, mask_ref, bgout_ref, ftile, bgt, mbuf, sem,
-               bsem, wsem):
+    def kernel(fp_ref, bp_ref, *refs):
+        if padded_occ:
+            (mask_ref, bgout_ref, occ_ref,
+             ftile, bgt, mbuf, sem, bsem, wsem) = refs
+        else:
+            (mask_ref, bgout_ref,
+             ftile, bgt, mbuf, sem, bsem, wsem) = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         y0 = i * TH
         x0 = j * TW
+
+        # in-image predicate over the OWNED block: out-of-image mask
+        # pixels are forced to 0 so the uncropped padded mask is exactly
+        # the zero-padded image mask (what the CCL front expects)
+        oy = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + y0
+        ox = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + x0
+        inown = (oy < H) & (ox < W)
+        if padded_occ:
+            # row-pair / col-block selector matrices for the occupancy
+            # contraction (0/255 mask: sum > 0 <=> any set). bf16 inputs,
+            # f32 accumulation — exact for 0/255 entries. cp is widened to
+            # 128 lanes (TPU block minor-dim alignment); lanes >= TW//128
+            # come out zero and are sliced off after the kernel.
+            rp = (
+                jax.lax.broadcasted_iota(jnp.int32, (TH // 2, TH), 0)
+                == (jax.lax.broadcasted_iota(
+                    jnp.int32, (TH // 2, TH), 1) >> 1)
+            ).astype(jnp.bfloat16)
+            cp = (
+                (jax.lax.broadcasted_iota(jnp.int32, (TW, 128), 0) >> 7)
+                == jax.lax.broadcasted_iota(jnp.int32, (TW, 128), 1)
+            ).astype(jnp.bfloat16)
 
         def mask_wr(slot, t):
             return pltpu.make_async_copy(
@@ -291,17 +338,29 @@ def fused_segment(
                 if close_rows:
                     m = morph(m, close_rows, False, close_iters)
                     m = morph(m, close_rows, True, close_iters)
-                mbuf[slot] = (
-                    (m[P:P + TH, P:P + TW] * 255.0)
-                    .astype(jnp.int32)
-                    .astype(jnp.uint8)
-                )
+                mbuf[slot] = jnp.where(
+                    inown,
+                    (m[P:P + TH, P:P + TW] * 255.0).astype(jnp.int32),
+                    0,
+                ).astype(jnp.uint8)
 
             @pl.when(jnp.logical_not(any_fg))
             def _():
                 mbuf[slot] = jnp.zeros((TH, TW), jnp.uint8)
 
             mask_wr(slot, t).start()
+            if padded_occ:
+                mz = (
+                    mbuf[slot].astype(jnp.int32).astype(jnp.bfloat16)
+                )
+                s1 = jnp.dot(rp, mz, preferred_element_type=jnp.float32)
+                s2 = jnp.dot(
+                    s1.astype(jnp.bfloat16), cp,
+                    preferred_element_type=jnp.float32,
+                )
+                occ_ref[t] = (
+                    (s2 > 0.0).astype(jnp.int32).astype(jnp.uint8)
+                )
             return carry
 
         lax.fori_loop(0, N, body, 0)
@@ -311,21 +370,34 @@ def fused_segment(
         mask_wr((N - 1) % 2, N - 1).wait()
         bgout_ref[:, :] = bgt[P:P + TH, P:P + TW]
 
-    masks, bg_out = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, Hp, Wp), jnp.uint8),
+        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+    ]
+    if padded_occ:
+        out_specs.append(
+            pl.BlockSpec(
+                (N, TH // 2, 128),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((N, Hp // 2, 128 * gw), jnp.uint8)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, Hp, Wp), jnp.uint8),
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, SH, SW), jnp.uint8),
             pltpu.VMEM((SH, SW), jnp.float32),
@@ -336,4 +408,12 @@ def fused_segment(
         ],
         interpret=_interpret(),
     )(fp, bp)
+    if padded_occ:
+        masks, bg_out, occ_pad = outs
+        # drop the lane padding: keep the first TW//128 flags of each
+        # tile-column's 128-lane block
+        occ = occ_pad.reshape(N, Hp // 2, gw, 128)[..., : TW // 128]
+        occ = occ.reshape(N, Hp // 2, Wp // 128)
+        return masks, bg_out[:H, :W], occ
+    masks, bg_out = outs
     return masks[:, :H, :W], bg_out[:H, :W]
