@@ -38,7 +38,12 @@ def run_raw(mask: np.ndarray, H: int, W: int, sparse_strips: int = 256,
     so = lax.reduce_window(
         o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
     )
-    labraw, conv = label_components_tiled_raw(mp, so, H, W)
+    # F=4 keeps interpret-mode trace/compile time sane on the 1-core CI
+    # box; the library default (F=8, tuned on TPU) is exercised through
+    # _post_mask_stage by the staged pipeline tests.
+    labraw, conv = label_components_tiled_raw(
+        mp, so, H, W, frames_per_step=4
+    )
     stats = _stats_from_raw(
         labraw, so, H, W,
         max_components=max_components, sparse_strips=sparse_strips,

@@ -832,22 +832,48 @@ def _stats_from_raw(
     tvalid = cs[None, :] < n_roots[:, None]
     table = jnp.where(tvalid, kval, jnp.int32(sent + 2))
 
-    slot = jnp.arange(512, dtype=jnp.int32)[None, None, :]
-    y = 2 * b[:, :, None] + (slot >= 256).astype(jnp.int32)
-    x = c[:, :, None] * 256 + slot % 256
-    eq = (
-        got.reshape(N, K * 512)[:, :, None] == table[:, None, :]
-    ).astype(jnp.bfloat16)  # (N, K*512, C)
-    payload = jnp.stack(
+    # Payload contraction via the additive limb split. For slot v of strip
+    # (b, c): x = 256c + xl (xl = v % 256), y = 2b + yl (yl = v >= 256).
+    # Because strip bases are 256- (x) and 2- (y) aligned, every 6-bit limb
+    # decomposes with NO carry:  limb(x) = limb(256c) + limb(xl)  since
+    # 256c's low 6 bits are 0 and (4c & 63) + (xl >> 6) <= 60 + 3 = 63
+    # (and likewise (2b & 63) + yl <= 62 + 1 = 63). So the old
+    # (N, K*512, 7) payload factors into a STATIC per-slot part L[v, :]
+    # plus a tiny per-strip base B[n, s, :], and the P-length einsum
+    # becomes two compare+sum reductions over `got` (XLA fuses the
+    # comparison into each — no (N, P, C) or (N, P, 7) tensor ever hits
+    # HBM) and two small exact-in-f32 contractions:
+    #   sums = einsum(E2, L) + einsum(cnt, B)
+    #   E2[n, v, c] = #strips whose slot v belongs to root c
+    #   cnt[n, s, c] = #slots of strip s belonging to root c
+    # All quantities are integer counts/coordinates well below 2^24, so
+    # f32 arithmetic is exact and the result is bit-identical to the old
+    # one-hot matmul.
+    vs = np.arange(512, dtype=np.int64)
+    xl, yl = vs % 256, (vs >= 256).astype(np.int64)
+    L = jnp.asarray(
+        np.stack(
+            [np.ones(512), xl & 63, xl >> 6, np.zeros(512),
+             yl, np.zeros(512), np.zeros(512)],
+            axis=-1,
+        ).astype(np.float32)
+    )  # (512, 7)
+    xb, yb = 256 * c, 2 * b
+    B = jnp.stack(
         [
-            jnp.ones_like(x),
-            x & 63, (x >> 6) & 63, x >> 12,
-            y & 63, (y >> 6) & 63, y >> 12,
+            jnp.zeros_like(xb), jnp.zeros_like(xb),
+            (xb >> 6) & 63, xb >> 12,
+            yb & 63, (yb >> 6) & 63, yb >> 12,
         ],
         axis=-1,
-    ).reshape(N, K * 512, 7).astype(jnp.bfloat16)
+    ).astype(jnp.float32)  # (N, K, 7)
+    eq4 = got[:, :, :, None] == table[:, None, None, :]  # (N, K, 512, C)
+    E2 = jnp.sum(eq4, axis=1, dtype=jnp.float32)  # (N, 512, C)
+    cnt = jnp.sum(eq4, axis=2, dtype=jnp.float32)  # (N, K, C)
     sums = jnp.einsum(
-        "npc,npk->nck", eq, payload, preferred_element_type=jnp.float32
+        "nvc,vk->nck", E2, L, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "nsc,nsk->nck", cnt, B, preferred_element_type=jnp.float32
     )  # (N, C, 7)
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C

@@ -481,7 +481,7 @@ def label_components_tiled_raw(
     W: int,
     tile: tuple = (64, 256),
     max_rounds: int = 64,
-    frames_per_step: int = 4,
+    frames_per_step: int = 8,
     max_run: int = 128,
 ):
     """Fourth-generation tail: CCL without ANY full-image HBM pass.
