@@ -171,12 +171,22 @@ def main():
     frames = args.frames or (512 if args.quick else 768)
     cpu_frames = args.cpu_frames or (8 if args.quick else 24)
 
+    t0 = time.perf_counter()
+
+    def phase(name):
+        print(
+            f"[bench] {name} done at +{time.perf_counter() - t0:.0f}s",
+            file=sys.stderr, flush=True,
+        )
+
     cfg = build_config()
     clip, plate = make_clip(args.height, args.width, frames)
+    phase("clip gen")
 
     # CPU baseline first: the jax/TPU runtime's host threads depress cv2's
     # multithreaded throughput ~3x if measured afterwards
     fps_cpu = bench_cpu(clip, plate, cfg, cpu_frames)
+    phase("cpu baseline")
     if args.profile:
         import jax
 
@@ -184,10 +194,12 @@ def main():
             fps_tpu = bench_tpu(clip, plate, cfg)
     else:
         fps_tpu = bench_tpu(clip, plate, cfg)
+    phase("tpu run")
 
     max_err, rows_match = accuracy_vs_reference(
         clip, plate, cfg, frames=min(48, frames)
     )
+    phase("accuracy check")
 
     result = {
         "metric": f"full-pipeline throughput @{args.height}p",

@@ -63,7 +63,7 @@ def main():
     Nn, Hb, Qc2 = occ128.shape
     so = occ128.reshape(Nn, Hb, Qc2 // 2, 2).max(axis=3)
 
-    for fps_ in (2, 4, 8, 16, 32):
+    for fps_ in (4, 8, 16):
         dt, (labraw, _c) = timeit(
             lambda m, s, f=fps_: label_components_tiled_raw(
                 m, s, H, W, frames_per_step=f
@@ -71,6 +71,34 @@ def main():
             (mask, so),
         )
         print(f"ccl_raw F={fps_:3d}  : {dt*1e3:8.2f} ms/batch")
+
+    # isolate grid-step overhead vs occupied-tile work
+    empty = jnp.zeros_like(mask)
+    so0 = jnp.zeros_like(so)
+    dt, _ = timeit(
+        lambda m, s: label_components_tiled_raw(m, s, H, W), (empty, so0)
+    )
+    print(f"ccl_raw EMPTY  : {dt*1e3:8.2f} ms/batch (pure grid overhead)")
+    Hp2 = mask.shape[1]
+    full = jnp.full_like(mask, 255)
+    full = full.at[:, H:, :].set(0).at[:, :, W:].set(0)
+    sof = jnp.ones_like(so).at[:, (H + 1) // 2:, :].set(0)
+    dt, _ = timeit(
+        lambda m, s: label_components_tiled_raw(m, s, H, W), (full, sof)
+    )
+    print(f"ccl_raw FULL   : {dt*1e3:8.2f} ms/batch (every tile occupied)")
+
+    for tl in ((64, 512), (128, 256), (128, 512), (32, 256)):
+        try:
+            dt, _ = timeit(
+                lambda m, s, t=tl: label_components_tiled_raw(
+                    m, s, H, W, tile=t
+                ),
+                (mask, so),
+            )
+            print(f"ccl_raw tile={tl}: {dt*1e3:8.2f} ms/batch")
+        except Exception as e:
+            print(f"ccl_raw tile={tl}: FAIL {str(e)[:90]}")
 
     labraw, _ = label_components_tiled_raw(mask, so, H, W)
     occ_n = int(np.asarray((np.asarray(so) != 0).sum(axis=(1, 2))).max())

@@ -519,7 +519,7 @@ def label_components_tiled_raw(
       converged: ()-bool, False if the round cap was hit.
     """
     TH, TW = tile
-    assert TW == 256, "raw CCL ties tile width to the 256-px strip"
+    assert TW % 256 == 0, "raw CCL tile width must cover whole 256-px strips"
     N, Hp, Wp = mask_padded.shape
     assert Hp % TH == 0 and Wp % TW == 0
     _kmap, _inv, sent_base = _scan_key(H, W, 8)
@@ -544,7 +544,8 @@ def label_components_tiled_raw(
     # per-(frame, tile) occupancy from the strip flags (tiny reduction)
     occf3 = lax.reduce_window(
         strip_occ.astype(jnp.int32),
-        jnp.int32(0), lax.max, (1, TH // 2, 1), (1, TH // 2, 1), "VALID",
+        jnp.int32(0), lax.max,
+        (1, TH // 2, TW // 256), (1, TH // 2, TW // 256), "VALID",
     )  # (Nfp, gh, gw)
     occf = occf3.reshape(-1)  # [(t * gh + i) * gw + j]
     occ3 = occf3.reshape(Nf, F, gh, gw).max(axis=1)  # per GROUP tile
@@ -554,9 +555,10 @@ def label_components_tiled_raw(
         def kernel(fr_ref, occf_ref, *refs):
             if first:
                 (msk_in, lab_out, flag_ref,
-                 tilebuf, mskbuf, sem_r, sem_m, sem_w) = refs
+                 tilebuf, mskbuf, wcnt, sem_r, sem_m, sem_w) = refs
             else:
-                lab_in, lab_out, flag_ref, tilebuf, sem_r, sem_w = refs
+                (lab_in, lab_out, flag_ref,
+                 tilebuf, wcnt, sem_r, sem_w) = refs
             nf = pl.program_id(0)
             i = pl.program_id(1)
             j = pl.program_id(2)
@@ -630,8 +632,8 @@ def label_components_tiled_raw(
                 v, _ = lax.while_loop(lambda s: s[1], inner, (v0, ch0))
                 return v
 
-            def write_owned(f):
-                wr = pltpu.make_async_copy(
+            def wr_copy(f):
+                return pltpu.make_async_copy(
                     tilebuf.at[f, pl.ds(PT, TH), pl.ds(PLW, TW)],
                     lab_out.at[
                         nf * F + f,
@@ -640,8 +642,21 @@ def label_components_tiled_raw(
                     ],
                     sem_w,
                 )
-                wr.start()
-                wr.wait()
+
+            def write_owned(f):
+                # start only — frame f's write-back overlaps frame f+1's
+                # sweep; drain_writes() at the end of the visit keeps the
+                # next grid step's halo reads ordered (all copies are the
+                # same size, so k waits on the shared semaphore drain k
+                # starts regardless of which frames started them)
+                wr_copy(f).start()
+                wcnt[0] = wcnt[0] + 1
+
+            def drain_writes():
+                for k in range(F):
+                    @pl.when(k < wcnt[0])
+                    def _(k=k):
+                        wr_copy(k).wait()
 
             def per_frame_first():
                 for f in range(F):
@@ -711,6 +726,7 @@ def label_components_tiled_raw(
 
             @pl.when(occupied)
             def _():
+                wcnt[0] = 0
                 rd.start()
                 if first:
                     md = pltpu.make_async_copy(
@@ -729,6 +745,7 @@ def label_components_tiled_raw(
                 else:
                     rd.wait()
                     per_frame_later()
+                drain_writes()
 
         return kernel
 
@@ -747,6 +764,8 @@ def label_components_tiled_raw(
         scratch = [pltpu.VMEM((F, SH, SW), jnp.int32)]
         if first:
             scratch.append(pltpu.VMEM((F, TH, TW), jnp.uint8))
+        scratch.append(pltpu.SMEM((1,), jnp.int32))  # in-flight writes
+        if first:
             scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SemaphoreType.DMA(()))
