@@ -171,6 +171,10 @@ def main():
     frames = args.frames or (512 if args.quick else 768)
     cpu_frames = args.cpu_frames or (8 if args.quick else 24)
 
+    from tpuva.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     t0 = time.perf_counter()
 
     def phase(name):

@@ -205,6 +205,9 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, abort_at_batch=None,
 
 
 def main():
+    from tpuva.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100_352)
     ap.add_argument("--height", type=int, default=1080)

@@ -60,6 +60,22 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) >= 8, jax.devices()
 
 
+def test_pallas_under_shard_map_matches_jnp():
+    """The production v5e-8 setting runs each stream's fused Pallas
+    front-end inside shard_map (use_pallas auto-on for real TPU backends);
+    pin that the pallas-under-shard_map path is bit-identical to the jnp
+    path on the CPU mesh (interpret mode). Small shapes: interpret-mode
+    Pallas inside shard_map is compile-heavy on CI."""
+    clips, plates = make_streams(S=8, T=8)
+    S = clips.shape[0]
+    mesh = make_stream_mesh(S)
+    fn_jnp = make_multistream_processor(CFG, S, mesh=mesh, use_pallas=False)
+    fn_pls = make_multistream_processor(CFG, S, mesh=mesh, use_pallas=True)
+    rows_jnp = run_multistream(fn_jnp, CFG, clips, plates)
+    rows_pls = run_multistream(fn_pls, CFG, clips, plates)
+    assert rows_pls == rows_jnp
+
+
 def test_shard_map_matches_vmap_and_single_stream():
     clips, plates = make_streams()
     S, T, H, W = clips.shape

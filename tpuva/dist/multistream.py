@@ -64,13 +64,25 @@ def make_multistream_processor(
     mesh: Optional[Mesh] = None,
     parallel_bg: bool = False,
     max_components: int = 64,
+    use_pallas: Optional[bool] = None,
 ):
     """Returns fn(carry_stacked, frames (S, N, H, W) uint8) ->
     (carry_stacked, out_stacked).
 
     mesh=None: single-device vmap over streams (same math, one chip).
     mesh given: shard_map over ('stream',) — one stream per chip.
-    """
+
+    use_pallas: run each stream's segmentation front-end as the fused
+    VMEM-resident Pallas kernel (bit-identical to the jnp path,
+    tests/test_multistream.py). Default (None) = auto: on when the
+    backend is a real TPU and the config fuses — the production v5e-8
+    setting; off on the CPU test mesh, where interpret mode would only
+    slow CI (the pallas-under-shard_map path is still covered by an
+    explicit use_pallas=True CPU-mesh test)."""
+    if use_pallas is None:
+        from tpuva.graph.pipeline import _can_fuse
+
+        use_pallas = jax.default_backend() == "tpu" and _can_fuse(cfg)
 
     def per_stream(carry: PipelineCarry, frames: jnp.ndarray):
         return process_batch(
@@ -80,6 +92,7 @@ def make_multistream_processor(
             parallel_bg=parallel_bg,
             return_masks=False,
             max_components=max_components,
+            use_pallas=use_pallas,
         )
 
     if mesh is None:

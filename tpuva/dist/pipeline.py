@@ -124,6 +124,7 @@ class MultiStreamPipeline:
         max_components: int = 64,
         queue_depth: int = 3,
         log: bool = False,
+        use_pallas: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.n_streams = n_streams
@@ -144,6 +145,7 @@ class MultiStreamPipeline:
             mesh=mesh,
             parallel_bg=parallel_bg,
             max_components=max_components,
+            use_pallas=use_pallas,
         )
 
     # ------------------------------------------------------------- assembly

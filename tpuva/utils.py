@@ -11,6 +11,25 @@ import sys
 import time
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at `<repo>/.jax_cache`
+    (compiles on this box are expensive: interpret-mode Pallas on CPU and
+    the staged TPU programs both take minutes cold). Safe no-op where the
+    backend doesn't support serialization. Call before the first jit."""
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def ensure_directory_exists(path: str) -> str:
     """Create the directory (and parents) if missing; returns the path."""
     if path and not os.path.isdir(path):
