@@ -46,9 +46,9 @@ def build_config():
             max_dist=80.0, death_patience=5, max_tracks=16,
             assigner="hungarian",
         ),
-        # batch 128 amortizes per-batch fixed costs (dispatch, CCL
-        # occupancy/fill, stats tables): ~2200 fps vs ~1960 at batch 32
-        batch=128,
+        # batch 256 amortizes per-batch fixed costs (dispatch, CCL grid,
+        # stats tables): ~3490 fps vs ~3270 at 128, ~1960 at 32
+        batch=256,
     )
 
 
@@ -161,6 +161,8 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--cpu-frames", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override cfg.batch (default 128)")
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler trace of the TPU run into DIR "
@@ -184,6 +186,10 @@ def main():
         )
 
     cfg = build_config()
+    if args.batch:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, batch=args.batch)
     clip, plate = make_clip(args.height, args.width, frames)
     phase("clip gen")
 

@@ -380,12 +380,12 @@ def label_components_tiled(
         return ((n * gh + i) * gw + j, 0, 0)
 
     def run_pass(lab, forward: bool, first: bool, occ_eff):
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         inputs = [occ_eff]
         if first:
             in_specs = [
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ]
             inputs = [occ_eff, mp]
         scratch = [pltpu.VMEM((F, SH, SW), jnp.int32)]
@@ -399,7 +399,7 @@ def label_components_tiled(
             grid=(Nf, gh, gw),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
             ],
             scratch_shapes=scratch,
@@ -755,7 +755,7 @@ def label_components_tiled_raw(
     lab_shape = jax.ShapeDtypeStruct((Nfp, Hbuf, Wbuf), jnp.int32)
 
     def run_pass(lab, forward: bool, first: bool, fr_eff):
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         inputs = [fr_eff, occf]
         if first:
             inputs.append(mask_padded)
@@ -774,7 +774,7 @@ def label_components_tiled_raw(
             grid=(Nf, gh, gw),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
             ],
             scratch_shapes=scratch,

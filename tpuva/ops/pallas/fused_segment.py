@@ -371,7 +371,7 @@ def fused_segment(
         bgout_ref[:, :] = bgt[P:P + TH, P:P + TW]
 
     out_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -393,8 +393,8 @@ def fused_segment(
         kernel,
         grid=(gh, gw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
