@@ -170,7 +170,6 @@ def main():
     )
     args = ap.parse_args()
 
-    frames = args.frames or (512 if args.quick else 768)
     cpu_frames = args.cpu_frames or (8 if args.quick else 24)
 
     from tpuva.utils import enable_compilation_cache
@@ -190,6 +189,8 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, batch=args.batch)
+    # >= 2 warmup batches + >= 1 measured batch (bench_tpu asserts)
+    frames = args.frames or cfg.batch * (3 if args.quick else 4)
     clip, plate = make_clip(args.height, args.width, frames)
     phase("clip gen")
 
