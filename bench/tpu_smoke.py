@@ -101,8 +101,60 @@ def main():
     ok = True
     for name, h, w, frames, cfg in cases:
         ok &= run_case(name, h, w, frames, cfg)
+    ok &= run_multistream_vmap()
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def run_multistream_vmap():
+    """Config-5 single-chip mode on the real chip: vmap over the fused
+    Pallas per-stream step (use_pallas auto-on for TPU backends) vs the
+    jnp path — must be bit-identical."""
+    import jax.numpy as jnp
+
+    from refimpl.synthetic import moving_disk_clip
+    from tpuva.graph.config import (
+        BackgroundConfig, PipelineConfig, SegmentConfig, TrackConfig,
+    )
+    from tpuva.graph.pipeline import collect_rows
+    from tpuva.dist import init_multistream_carry, make_multistream_processor
+
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.02),
+        segment=SegmentConfig(threshold=40.0, min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    S, T, H, W = 4, 8, 128, 256
+    clips, plates = [], []
+    for s in range(S):
+        clip, _, plate = moving_disk_clip(
+            h=H, w=W, frames=T, radius=8, seed=s
+        )
+        clips.append(clip)
+        plates.append(plate)
+    clips = np.stack(clips)
+    plates = np.stack(plates)
+
+    def run(use_pallas):
+        fn = make_multistream_processor(
+            cfg, S, mesh=None, use_pallas=use_pallas
+        )
+        carry = init_multistream_carry(cfg, H, W, S, background0=plates)
+        carry, out = fn(carry, jnp.asarray(clips))
+        return [
+            collect_rows(out["rows"][s], out["row_valid"][s],
+                         row_sums=out["row_sums"][s])
+            for s in range(S)
+        ]
+
+    rj = run(False)
+    rp = run(True)
+    ok = rj == rp
+    nrows = sum(len(r) for r in rp)
+    print(f"multistream vmap (pallas vs jnp): "
+          f"{'PASS' if ok else 'FAIL'} rows={nrows}")
+    return ok
 
 
 if __name__ == "__main__":

@@ -96,6 +96,18 @@ def make_multistream_processor(
         )
 
     if mesh is None:
+        if use_pallas:
+            # vmap would hand the Pallas kernel batched ANY-space refs,
+            # which Mosaic rejects (caught by bench/tpu_smoke.py); lax.map
+            # slices one stream per iteration so the kernel sees the same
+            # unbatched shapes as the single-stream path. Streams share
+            # the one chip either way, so the serialization is free.
+            from jax import lax
+
+            def mapped(carry, frames):
+                return lax.map(lambda cf: per_stream(*cf), (carry, frames))
+
+            return jax.jit(mapped)
         return jax.jit(jax.vmap(per_stream))
 
     def shard_fn(carry, frames):
