@@ -68,6 +68,21 @@ def main():
         )
         print(f"{name:18s}: {dt*1e3:8.2f} ms/batch ({N/dt:8.1f} fps)")
 
+    full_kw = dict(
+        blur_ksize=5, open_ksize=3, open_shape="rect",
+        close_ksize=3, close_shape="ellipse")
+    for tl in ((96, 2048), (192, 1024), (48, 1024), (96, 512)):
+        try:
+            dt, _ = timeit(
+                lambda f, b, t=tl: fused_segment(
+                    f, b, **base, **full_kw, tile=t),
+                (frames, bg0),
+            )
+            print(f"full tile={tl}: {dt*1e3:8.2f} ms/batch "
+                  f"({N/dt:8.1f} fps)")
+        except Exception as e:
+            print(f"full tile={tl}: FAIL {str(e)[:80]}")
+
     # all-foreground scene: every tile pays morphology
     ones = jnp.asarray(
         np.full((N, H, W), 200, np.uint8)

@@ -113,6 +113,14 @@ def main():
         ov = int(np.asarray(st["overflow"]).max())
         print(f"stats K={K:3d}   : {dt*1e3:8.2f} ms/batch (overflow {ov})")
 
+    from tpuva.graph.pipeline import _finish_batch
+
+    stats = _stats_from_raw(labraw, so, H, W, max_components=32)
+    fb = jax.jit(lambda c, s, m, b: _finish_batch(cfg, c, s, m, b, False))
+    dt, _ = timeit(fb, (carry, stats, mask, bg))
+    print(f"tracker (finish): {dt*1e3:8.2f} ms/batch "
+          f"(batch {cfg.batch}, {cfg.track.assigner})")
+
 
 if __name__ == "__main__":
     main()
