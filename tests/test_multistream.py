@@ -60,6 +60,19 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) >= 8, jax.devices()
 
 
+def test_pallas_single_chip_lax_map_matches_vmap_jnp():
+    """mesh=None + use_pallas=True takes the lax.map branch (vmap over a
+    pallas_call fails Mosaic lowering on real TPU — bench/tpu_smoke.py);
+    pin that it matches the vmap'd jnp path bit-for-bit."""
+    clips, plates = make_streams(S=3, T=8)
+    S = clips.shape[0]
+    fn_jnp = make_multistream_processor(CFG, S, mesh=None, use_pallas=False)
+    fn_pls = make_multistream_processor(CFG, S, mesh=None, use_pallas=True)
+    rows_jnp = run_multistream(fn_jnp, CFG, clips, plates)
+    rows_pls = run_multistream(fn_pls, CFG, clips, plates)
+    assert rows_pls == rows_jnp
+
+
 def test_pallas_under_shard_map_matches_jnp():
     """The production v5e-8 setting runs each stream's fused Pallas
     front-end inside shard_map (use_pallas auto-on for real TPU backends);
