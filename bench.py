@@ -63,7 +63,7 @@ def make_clip(h, w, frames):
 
 
 def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=32,
-              repeats=4):
+              repeats=12, passes=2):
     # max_components=32: 4x headroom over the scene's ~7 components; the
     # per-component one-hot contraction scales linearly with this capacity
     import jax
@@ -101,16 +101,22 @@ def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=32,
     assert len(batches) > warmup_batches, (
         "need more frames than warmup batches"
     )
-    t0 = time.perf_counter()
-    n_frames = 0
-    for _ in range(repeats):
-        for b in batches[warmup_batches:]:
-            carry, out = run(carry, b)
-            n_frames += b.shape[0]
-    np.asarray(out["rows"])  # forced sync (block_until_ready can lie
-    # through the tunneled device)
-    dt = time.perf_counter() - t0
-    return n_frames / dt
+    # each pass chains `repeats` sweeps between syncs: this box's tunnel
+    # sync costs ~28 ms, a fixed cost unrelated to pipeline throughput,
+    # so amortize it over >1 s of work (CLAUDE.md). Best-of-passes damps
+    # tunnel throughput hiccups, mirroring bench_cpu's max-over-trials.
+    best = 0.0
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        n_frames = 0
+        for _ in range(repeats):
+            for b in batches[warmup_batches:]:
+                carry, out = run(carry, b)
+                n_frames += b.shape[0]
+        np.asarray(out["rows"])  # forced sync (block_until_ready can lie
+        # through the tunneled device)
+        best = max(best, n_frames / (time.perf_counter() - t0))
+    return best
 
 
 def bench_cpu(clip, plate, cfg, n_frames=16, trials=3):
