@@ -31,6 +31,9 @@ def timeit(fn, args, iters=8, warmup=2):
 
 
 def main():
+    from tpuva.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from refimpl.synthetic import multi_blob_clip
     from tpuva.graph.pipeline import _fused_mask_stage, init_carry
     from tpuva.ops.pallas.ccl import label_components_tiled

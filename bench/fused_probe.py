@@ -34,6 +34,9 @@ def timeit(fn, args, iters=8, warmup=2):
 
 
 def main():
+    from tpuva.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
