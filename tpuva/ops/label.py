@@ -788,15 +788,12 @@ def _stats_from_raw(
     c = safe % Qcp
     nrow = jnp.arange(N, dtype=jnp.int32)[:, None]
     xrf = labraw.reshape(Nfp * Hbuf * CPR, 256)
-    halves = [
-        jnp.take(
-            xrf,
-            (nrow * Hbuf + (8 + 2 * b + h)) * CPR + (c + 1),
-            axis=0,
-        )
-        for h in (0, 1)
-    ]
-    got = jnp.concatenate(halves, axis=-1)  # (N, K, 512) spatial order
+    # one fused row gather for both halves of each strip (row 2b at
+    # slots [0:256], row 2b+1 at [256:512] after the reshape — identical
+    # layout to the old per-half takes + concat, minus the concat copy)
+    rowbase = (nrow * Hbuf + (8 + 2 * b)) * CPR + (c + 1)  # (N, K)
+    idx2 = rowbase[:, :, None] + jnp.array([0, CPR], jnp.int32)[None, None]
+    got = jnp.take(xrf, idx2, axis=0).reshape(N, K, 512)
     got = jnp.where(sel_valid[:, :, None], got, jnp.int32(-1))
 
     # root table: a pixel is a root iff its label equals its own scan key.
