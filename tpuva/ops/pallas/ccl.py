@@ -567,13 +567,43 @@ def label_components_tiled_raw(
                 j = pl.num_programs(2) - 1 - j
             y0 = i * TH  # buffer window rows [y0, y0+SH)
             xb = j * TW + (MC - PLW)  # buffer window cols [xb, xb+SW)
-            rd = pltpu.make_async_copy(
-                lab_out.at[
-                    pl.ds(nf * F, F), pl.ds(y0, SH), pl.ds(xb, SW)
-                ],
-                tilebuf,
-                sem_r,
-            )
+            if first:
+                # pass 1 (forward raster) only consumes the TOP ring row
+                # (window row PT-1, any col <= PLW+TW) and the LEFT ring
+                # col (window col PLW-1, mid rows) — bottom/right halos
+                # are masked to SENT. Read just those two strips (393 KB
+                # vs the 1.31 MB full window at F=8); both lie entirely
+                # inside regions earlier raster tiles already wrote this
+                # pass (or are occupancy-masked). Aligned: y0 % 8 == 0,
+                # xb % 128 == 0.
+                rd_strips = [
+                    pltpu.make_async_copy(
+                        lab_out.at[
+                            pl.ds(nf * F, F), pl.ds(y0, PT), pl.ds(xb, SW)
+                        ],
+                        tilebuf.at[:, pl.ds(0, PT), :],
+                        sem_r,
+                    ),
+                    pltpu.make_async_copy(
+                        lab_out.at[
+                            pl.ds(nf * F, F),
+                            pl.ds(y0 + PT, TH),
+                            pl.ds(xb, PLW),
+                        ],
+                        tilebuf.at[:, pl.ds(PT, TH), pl.ds(0, PLW)],
+                        sem_r,
+                    ),
+                ]
+            else:
+                rd_strips = [
+                    pltpu.make_async_copy(
+                        lab_out.at[
+                            pl.ds(nf * F, F), pl.ds(y0, SH), pl.ds(xb, SW)
+                        ],
+                        tilebuf,
+                        sem_r,
+                    )
+                ]
             flag_ref[0, 0, 0] = 0
 
             hy = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 0)
@@ -727,7 +757,8 @@ def label_components_tiled_raw(
             @pl.when(occupied)
             def _():
                 wcnt[0] = 0
-                rd.start()
+                for rd in rd_strips:
+                    rd.start()
                 if first:
                     md = pltpu.make_async_copy(
                         msk_in.at[
@@ -739,11 +770,13 @@ def label_components_tiled_raw(
                         sem_m,
                     )
                     md.start()
-                    rd.wait()
+                    for rd in rd_strips:
+                        rd.wait()
                     md.wait()
                     per_frame_first()
                 else:
-                    rd.wait()
+                    for rd in rd_strips:
+                        rd.wait()
                     per_frame_later()
                 drain_writes()
 
