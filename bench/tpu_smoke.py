@@ -101,15 +101,17 @@ def main():
     ok = True
     for name, h, w, frames, cfg in cases:
         ok &= run_case(name, h, w, frames, cfg)
-    ok &= run_multistream_vmap()
+    ok &= run_multistream_singlechip()
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
 
-def run_multistream_vmap():
-    """Config-5 single-chip mode on the real chip: vmap over the fused
-    Pallas per-stream step (use_pallas auto-on for TPU backends) vs the
-    jnp path — must be bit-identical."""
+def run_multistream_singlechip():
+    """Config-5 single-chip mode on the real chip: with use_pallas
+    auto-on for TPU backends, make_multistream_processor(mesh=None)
+    takes the lax.map-over-streams Pallas branch (vmap over a
+    pallas_call fails Mosaic); compare it against the vmap'd jnp path —
+    must be bit-identical."""
     import jax.numpy as jnp
 
     from refimpl.synthetic import moving_disk_clip

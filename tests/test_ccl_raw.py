@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from tpuva.ops.label import _stats_from_raw, _stats_from_root
+from tpuva.ops.label import _stats_from_raw, _stats_from_root, label_components
 from tpuva.ops.pallas.ccl import (
     label_components_tiled,
     label_components_tiled_raw,
@@ -118,6 +118,31 @@ def test_overflow_reported_identically():
     new, _conv = run_raw(mask, 64, 512, sparse_strips=8)
     assert int(np.asarray(new["overflow"]).max()) > 0
     assert_stats_equal(ref, new)
+
+
+def test_backward_pass_flag_reflection_regression():
+    """One 8-connected component whose global min key lives in tile
+    (0,1) but which reaches tile (1,0) only through tile (0,0): pass 1
+    (forward) leaves (1,0) stale, pass 2 (backward) updates (0,0) — its
+    ring-change flag must land at tile (0,0), not at the point-reflected
+    grid position (the round-2 bug), or the frontier never schedules
+    (1,0) and the loop exits "converged" with the component split in
+    two. Exercises both the dense (gen-3) and raw (gen-4) kernels."""
+    mask = np.zeros((1, 192, 768), np.uint8)
+    mask[0, 0:9, 280:284] = 255   # stub: global min key, tile (0,1)
+    mask[0, 5:9, 10:301] = 255    # bar spanning tiles (0,0)-(0,1)
+    mask[0, 5:101, 10:14] = 255   # arm descending into tile (1,0)
+    lab, conv = label_components_tiled(
+        jnp.asarray(mask), return_converged=True
+    )
+    assert bool(conv)
+    ref = np.asarray(label_components(jnp.asarray(mask)))
+    np.testing.assert_array_equal(np.asarray(lab), ref)
+    refs = run_ref(mask)
+    new, conv = run_raw(mask, 192, 768)
+    assert conv
+    assert int(np.asarray(new["count"])[0]) == 1
+    assert_stats_equal(refs, new)
 
 
 def test_cross_tile_component_propagation():

@@ -373,11 +373,21 @@ def label_components_tiled(
 
         return kernel
 
-    def flag_index(n, i, j, occ_ref):
+    def make_flag_index(forward: bool):
         # one scalar row per grid step ((1, 1) trailing dims satisfy the
         # Mosaic block-alignment rule); index maps receive the
-        # scalar-prefetch ref as a trailing argument
-        return ((n * gh + i) * gw + j, 0, 0)
+        # scalar-prefetch ref as a trailing argument. Backward passes
+        # reflect (i, j) INSIDE the kernel, so the flag must be mapped to
+        # the reflected tile too — the tile actually processed — or the
+        # frontier computes neighbors of the wrong tiles and the loop can
+        # exit "converged" with stale labels.
+        def flag_index(n, i, j, occ_ref):
+            if not forward:
+                i = gh - 1 - i
+                j = gw - 1 - j
+            return ((n * gh + i) * gw + j, 0, 0)
+
+        return flag_index
 
     def run_pass(lab, forward: bool, first: bool, occ_eff):
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
@@ -400,7 +410,10 @@ def label_components_tiled(
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 1, 1), make_flag_index(forward),
+                    memory_space=pltpu.SMEM,
+                ),
             ],
             scratch_shapes=scratch,
         )
@@ -782,8 +795,17 @@ def label_components_tiled_raw(
 
         return kernel
 
-    def flag_index(n, i, j, fr_ref, occf_ref):
-        return ((n * gh + i) * gw + j, 0, 0)
+    def make_flag_index(forward: bool):
+        # backward passes reflect (i, j) in-kernel; map the flag to the
+        # reflected tile (the one actually processed) — see the dense
+        # kernel's make_flag_index for the frontier-soundness argument
+        def flag_index(n, i, j, fr_ref, occf_ref):
+            if not forward:
+                i = gh - 1 - i
+                j = gw - 1 - j
+            return ((n * gh + i) * gw + j, 0, 0)
+
+        return flag_index
 
     lab_shape = jax.ShapeDtypeStruct((Nfp, Hbuf, Wbuf), jnp.int32)
 
@@ -808,7 +830,10 @@ def label_components_tiled_raw(
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 1, 1), flag_index, memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 1, 1), make_flag_index(forward),
+                    memory_space=pltpu.SMEM,
+                ),
             ],
             scratch_shapes=scratch,
         )
