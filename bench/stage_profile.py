@@ -116,6 +116,28 @@ def main():
     )
     print(f"_stats_from_raw       : {dt*1e3:8.2f} ms/batch")
 
+    # gen-5: compact tile write-out + gather-free stats
+    from tpuva.ops.label import _stats_from_compact
+
+    dt, (_lr2, cbuf, _c2) = timeit(
+        lambda m, s: label_components_tiled_raw(
+            m, s, H, W, compact_tiles=8
+        ),
+        (mp, so),
+    )
+    print(f"label_raw(+compact)   : {dt*1e3:8.2f} ms/batch "
+          f"({N/dt:8.1f} fps)")
+    del _lr2  # 2.7 GB raw buffer — free before the next stage (HBM)
+    dt, _ = timeit(
+        lambda cb, s: _stats_from_compact(
+            cb, s, H, W, max_components=MC
+        ),
+        (cbuf, so),
+    )
+    print(f"_stats_from_compact   : {dt*1e3:8.2f} ms/batch")
+    del cbuf
+    del labraw
+
     dt, _ = timeit(
         lambda r: _root_table(r, 8, MC), (root,)
     )

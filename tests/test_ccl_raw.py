@@ -7,18 +7,25 @@ gathers of occupied strips. These tests pin that the (stats, overflow)
 outputs are bit-identical to the gen-3 path (label_components_tiled +
 _stats_from_root), which is itself golden-tested against cv2.
 
-Interpret-mode caveat: on CPU, unwritten Pallas output regions read as
-zeros rather than TPU garbage — so these tests prove the masking logic
-against *benign* junk. The same code path runs on real TPU via bench.py
-(which checks centroid accuracy vs the OpenCV oracle end-to-end) and the
-soak script.
+On CPU, unwritten Pallas output regions read as zeros rather than TPU
+garbage, so plain interpret-mode runs only prove the masking against
+*benign* junk. test_poisoned_buffers_masked closes that gap in CI: it
+donates 0x5A5A5A5A-filled buffers into pass 1 (debug_poison=True), so
+any read of a never-written region leaks the sentinel into stats and
+fails bit-equality. The same code path also runs on real TPU via
+bench.py and bench/tpu_smoke.py.
 """
 
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from tpuva.ops.label import _stats_from_raw, _stats_from_root, label_components
+from tpuva.ops.label import (
+    _stats_from_compact,
+    _stats_from_raw,
+    _stats_from_root,
+    label_components,
+)
 from tpuva.ops.pallas.ccl import (
     label_components_tiled,
     label_components_tiled_raw,
@@ -28,7 +35,7 @@ STAT_KEYS = ("count", "area", "centroid_sum", "overflow")
 
 
 def run_raw(mask: np.ndarray, H: int, W: int, sparse_strips: int = 256,
-            max_components: int = 64):
+            max_components: int = 64, compute_bbox: bool = False):
     m = jnp.asarray(mask)
     Hp, Wp = -(-H // 64) * 64, -(-W // 256) * 256
     mp = jnp.pad(m, ((0, 0), (0, Hp - H), (0, Wp - W)))
@@ -47,6 +54,30 @@ def run_raw(mask: np.ndarray, H: int, W: int, sparse_strips: int = 256,
     stats = _stats_from_raw(
         labraw, so, H, W,
         max_components=max_components, sparse_strips=sparse_strips,
+        compute_bbox=compute_bbox,
+    )
+    return stats, bool(conv)
+
+
+def run_compact(mask: np.ndarray, tiles: int = 8, max_components: int = 64,
+                compute_bbox: bool = False):
+    """Gen-5 path: compact tile write-out + gather-free stats."""
+    m = jnp.asarray(mask)
+    N, H, W = m.shape
+    Hp, Wp = -(-H // 64) * 64, -(-W // 256) * 256
+    mp = jnp.pad(m, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    o1 = lax.reduce_window(
+        mp, jnp.uint8(0), lax.max, (1, 1, 256), (1, 1, 256), "VALID"
+    )
+    so = lax.reduce_window(
+        o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+    )
+    _labraw, cbuf, conv = label_components_tiled_raw(
+        mp, so, H, W, frames_per_step=4, compact_tiles=tiles
+    )
+    stats = _stats_from_compact(
+        cbuf, so, H, W, max_components=max_components,
+        compute_bbox=compute_bbox,
     )
     return stats, bool(conv)
 
@@ -109,6 +140,50 @@ def test_multi_frame_groups_and_partial_last_group():
     assert_stats_equal(ref, new)
 
 
+def test_compact_matches_dense_path():
+    """Gen-5 compact stats: bit-equal (incl. cv2 id order) to the dense
+    path on scenes spanning several tile rows AND columns — slot-major
+    order differs from ascending-key order there, exercising the
+    metadata re-sort."""
+    rng = np.random.default_rng(13)
+    scenes = []
+    m1 = (rng.random((3, 64, 256)) < 0.25).astype(np.uint8) * 255
+    m1[1] = 0
+    scenes.append((m1, 64, 256))
+    m2 = (rng.random((2, 150, 700)) < 0.04).astype(np.uint8) * 255
+    scenes.append((m2, 150, 700))  # multi-tile, unaligned H/W
+    m3 = np.zeros((1, 192, 768), np.uint8)
+    m3[0, 10:14, 20:700] = 255
+    m3[0, 10:180, 690:700] = 255
+    m3[0, 170:180, 30:700] = 255
+    scenes.append((m3, 192, 768))  # serpentine across 9 tiles
+    for mask, h, w in scenes:
+        ref = run_ref(mask)
+        new, conv = run_compact(mask, tiles=32)
+        assert conv
+        assert int(np.asarray(new["overflow"]).max()) == 0
+        assert_stats_equal(ref, new)
+
+
+def test_compact_tile_overflow():
+    """More occupied tiles than capacity: overflow counts the occupied
+    strips inside dropped tiles; kept tiles produce exact stats for the
+    components they fully contain."""
+    mask = np.zeros((1, 64, 1024), np.uint8)
+    # one blob per 256-col tile: 4 occupied tiles
+    for t in range(4):
+        mask[0, 10:20, t * 256 + 5 : t * 256 + 25] = 255
+    new, conv = run_compact(mask, tiles=2)
+    assert conv
+    ov = int(np.asarray(new["overflow"])[0])
+    assert ov > 0  # strict mode would raise on this frame
+    # the first two tiles' blobs are intact and correctly id'd
+    ref = run_ref(mask[:, :, :512])
+    np.testing.assert_array_equal(
+        np.asarray(new["area"])[0, 1:3], np.asarray(ref["area"])[0, 1:3]
+    )
+
+
 def test_overflow_reported_identically():
     """More occupied strips than capacity: same overflow counts, and the
     kept strips (ascending key order) produce the same stats."""
@@ -118,6 +193,77 @@ def test_overflow_reported_identically():
     new, _conv = run_raw(mask, 64, 512, sparse_strips=8)
     assert int(np.asarray(new["overflow"]).max()) > 0
     assert_stats_equal(ref, new)
+
+
+def test_bbox_on_fast_paths():
+    """compute_bbox=True on the raw and compact paths: (x, y, w, h)
+    bit-equal to the dense path (which is golden-tested vs cv2),
+    including blobs crossing tile boundaries and image edges."""
+    rng = np.random.default_rng(31)
+    scenes = [
+        ((rng.random((2, 150, 700)) < 0.04).astype(np.uint8) * 255,
+         150, 700),
+    ]
+    m2 = np.zeros((1, 130, 280), np.uint8)
+    m2[0, 60:70, 250:265] = 255   # crosses the 256-col tile boundary
+    m2[0, 126:130, 0:8] = 255     # image edge
+    scenes.append((m2, 130, 280))
+    for mask, h, w in scenes:
+        root = label_components_tiled(jnp.asarray(mask))
+        ref = _stats_from_root(
+            root, max_components=64, compute_bbox=True,
+            compute_labels=False,
+        )
+        raw, conv = run_raw(mask, h, w, compute_bbox=True)
+        assert conv
+        np.testing.assert_array_equal(
+            np.asarray(ref["bbox"]), np.asarray(raw["bbox"])
+        )
+        cmp_, conv2 = run_compact(mask, tiles=32, compute_bbox=True)
+        assert conv2
+        np.testing.assert_array_equal(
+            np.asarray(ref["bbox"]), np.asarray(cmp_["bbox"])
+        )
+
+
+def test_poisoned_buffers_masked():
+    """Occupancy masking proven against HOSTILE buffer contents: with the
+    label (and compact) buffers donated as 0x5A5A5A5A fills, stats must
+    still be bit-identical to the dense reference — any unwritten-region
+    read would leak the poison into the root table or payload sums."""
+    rng = np.random.default_rng(23)
+    scenes = [
+        ((rng.random((2, 150, 700)) < 0.04).astype(np.uint8) * 255,
+         150, 700),
+        ((rng.random((3, 64, 256)) < 0.3).astype(np.uint8) * 255, 64, 256),
+    ]
+    scenes[0][0][1] = 0  # an empty frame between occupied ones
+    for mask, h, w in scenes:
+        m = jnp.asarray(mask)
+        Hp, Wp = -(-h // 64) * 64, -(-w // 256) * 256
+        mp = jnp.pad(m, ((0, 0), (0, Hp - h), (0, Wp - w)))
+        o1 = lax.reduce_window(
+            mp, jnp.uint8(0), lax.max, (1, 1, 256), (1, 1, 256), "VALID"
+        )
+        so = lax.reduce_window(
+            o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+        )
+        ref = run_ref(mask)
+        # raw path under poison
+        labraw, conv = label_components_tiled_raw(
+            mp, so, h, w, frames_per_step=4, debug_poison=True
+        )
+        assert bool(conv)
+        new = _stats_from_raw(labraw, so, h, w, max_components=64)
+        assert_stats_equal(ref, new)
+        # compact path under poison
+        _lr, cbuf, conv2 = label_components_tiled_raw(
+            mp, so, h, w, frames_per_step=4, compact_tiles=32,
+            debug_poison=True,
+        )
+        assert bool(conv2)
+        new2 = _stats_from_compact(cbuf, so, h, w, max_components=64)
+        assert_stats_equal(ref, new2)
 
 
 def test_backward_pass_flag_reflection_regression():

@@ -732,8 +732,53 @@ def _stats_from_root(
     return out
 
 
+def _bbox_from_strips(eq4, b, c, present, H: int, W: int):
+    """(x, y, w, h) per component from strip-space membership — the
+    fast-path twin of _stats_from_root's dense row/col contractions
+    (which are golden-tested vs cv2).
+
+    eq4: (N, S, 512, C) bool membership of strip slots in components;
+    b, c: (N, S) int32 block row / 256-col chunk of each strip; slot v of
+    a strip is pixel (y, x) = (2b + (v >= 256), 256c + v % 256).
+    present: (N, C+1) validity incl. the background row. Reductions ride
+    the same eq4 tensor the payload contraction already materializes, so
+    XLA fuses them into one pass over it."""
+    N, S, _V, C = eq4.shape
+    BIG = jnp.int32(2**30)
+    xl = (jnp.arange(512, dtype=jnp.int32) % 256)[None, None, :, None]
+    xmin_s = jnp.min(jnp.where(eq4, xl, BIG), axis=2)  # (N, S, C)
+    xmax_s = jnp.max(jnp.where(eq4, xl, -1), axis=2)
+    has0 = jnp.any(eq4[:, :, :256, :], axis=2)  # row 2b occupied
+    has1 = jnp.any(eq4[:, :, 256:, :], axis=2)  # row 2b+1 occupied
+    bx = (256 * c)[:, :, None]
+    by = (2 * b)[:, :, None]
+    xmin = jnp.min(jnp.where(xmin_s < BIG, bx + xmin_s, BIG), axis=1)
+    xmax = jnp.max(jnp.where(xmax_s >= 0, bx + xmax_s, -1), axis=1)
+    ymin = jnp.min(
+        jnp.minimum(
+            jnp.where(has0, by, BIG), jnp.where(has1, by + 1, BIG)
+        ),
+        axis=1,
+    )
+    ymax = jnp.max(
+        jnp.maximum(
+            jnp.where(has0, by, -1), jnp.where(has1, by + 1, -1)
+        ),
+        axis=1,
+    )
+    bbox_c = jnp.stack(
+        [xmin, ymin, xmax - xmin + 1, ymax - ymin + 1], axis=-1
+    )
+    # background row: full-image box (same convention as _stats_from_root)
+    bbox0 = jnp.broadcast_to(jnp.array([0, 0, W, H], jnp.int32), (N, 4))
+    bbox = jnp.concatenate([bbox0[:, None], bbox_c], axis=1)
+    return jnp.where(present[:, :, None], bbox, 0).astype(jnp.int32)
+
+
 @partial(
-    jax.jit, static_argnames=("H", "W", "max_components", "sparse_strips")
+    jax.jit,
+    static_argnames=("H", "W", "max_components", "sparse_strips",
+                     "compute_bbox"),
 )
 def _stats_from_raw(
     labraw: jnp.ndarray,
@@ -742,6 +787,7 @@ def _stats_from_raw(
     W: int,
     max_components: int = 64,
     sparse_strips: int = 256,
+    compute_bbox: bool = False,
 ):
     """Sparse-strip stats directly from the RAW padded CCL buffer
     (tpuva.ops.pallas.ccl.label_components_tiled_raw) — the gen-4 tail.
@@ -875,11 +921,201 @@ def _stats_from_raw(
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C
     )
+    bbox = (
+        _bbox_from_strips(eq4, b, c, present, H, W)
+        if compute_bbox
+        else jnp.zeros((N, C + 1, 4), jnp.int32)
+    )
     return {
         "labels": jnp.zeros((N, H, W), jnp.int32),
         "count": count,
         "area": area,
-        "bbox": jnp.zeros((N, C + 1, 4), jnp.int32),
+        "bbox": bbox,
+        "centroid": centroid,
+        "centroid_sum": csum,
+        "overflow": overflow,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("H", "W", "max_components", "tile", "compute_bbox"),
+)
+def _stats_from_compact(
+    compact: jnp.ndarray,
+    strip_occ: jnp.ndarray,
+    H: int,
+    W: int,
+    max_components: int = 64,
+    tile: tuple = (64, 256),
+    compute_bbox: bool = False,
+):
+    """Gen-5 tail: stats from the COMPACT tile buffer emitted by
+    tpuva.ops.pallas.ccl.label_components_tiled_raw(compact_tiles=T).
+
+    The raw-buffer path (_stats_from_raw) row-gathers up to
+    `sparse_strips` occupied strips out of the sparse padded label buffer
+    — ~17 ms of selection chains + gathers per 256-frame 1080p batch,
+    the largest single cost of the staged pipeline (TPU row gathers run
+    far off memory speed-of-light). Here the CCL kernel has already
+    written every occupied tile's owned block DENSELY at its per-frame
+    occupied-tile rank, so label data is read with ZERO gathers: a pure
+    reshape turns slot (TH, TW) blocks into (TH/2, 512) spatial strips
+    (identical slot layout to the gathered strips of the raw path).
+
+    Slot-major strip order is not ascending-key order (cv2's id order),
+    so strips are re-ordered by a tiny per-frame sort of their base keys
+    (metadata only — (N, T*TH/2) int32) before the root-table selection;
+    the payload contraction itself is order-independent. Semantics
+    (6-bit-limb MXU contraction, exact integer sums, cv2 ascending-id
+    root table) are identical to _stats_from_raw — bit-equality pinned
+    by tests/test_ccl_raw.py.
+
+    Capacity is tile-granular: frames occupying more than T tiles drop
+    the excess tiles; `overflow` reports the number of occupied strips
+    inside dropped tiles (0 = exact, same strictness contract as the
+    sparse-strip path).
+
+    8-connectivity only. compact: (Nfp, T, TH, TW) int32 (slots beyond
+    the frame's occupied-tile count are uninitialized garbage — masked
+    here by the strip_occ-derived rank, never trusted); strip_occ:
+    (N, Hp//2, Wp//256) any-mask flag per (2x256) key strip.
+    """
+    N, Hbp, Qcp = strip_occ.shape
+    TH, TW = tile
+    assert TW == 256, "compact stats assume one 256-col chunk per tile"
+    SB = TH // 2  # strips per tile
+    Nfp, T, _TH, _TW = compact.shape
+    gh, gw = Hbp // SB, Qcp
+    G = gh * gw
+    S = T * SB
+    C = max_components
+    _kmap2, _inv2, sent = _scan_key(H, W, 8)
+    Wb = (W + 1) // 2
+    _keys, _base_g, kofs = _strip_keys(H, W, 8, Qcp, Hbp * Qcp)
+
+    # occupied-tile ranks from the caller's strip occupancy — the same
+    # reduction the CCL kernel prefetches, so slot assignment agrees
+    occ_strip3 = strip_occ != 0
+    occf3 = lax.reduce_window(
+        occ_strip3.astype(jnp.int32), jnp.int32(0), lax.max,
+        (1, SB, 1), (1, SB, 1), "VALID",
+    )  # (N, gh, gw)
+    occ_t = occf3.reshape(N, G) > 0
+    cum_t = jnp.cumsum(occ_t.astype(jnp.int32), axis=1)
+    tiles_occ = cum_t[:, -1]
+    ts = jnp.arange(T, dtype=jnp.int32)
+    # slot -> raster tile id (first tile with cum > slot)
+    tile_id = jnp.minimum(
+        jnp.sum(
+            (cum_t[:, :, None] <= ts[None, None, :]).astype(jnp.int32),
+            axis=1,
+        ),
+        G - 1,
+    )  # (N, T)
+    slot_valid = ts[None, :] < jnp.minimum(tiles_occ, T)[:, None]
+
+    # overflow: occupied strips living in tiles ranked past capacity
+    rank_t = (cum_t - occ_t.astype(jnp.int32)).reshape(N, gh, gw)
+    strip_rank = jnp.broadcast_to(
+        rank_t[:, :, None, :], (N, gh, SB, gw)
+    ).reshape(N, Hbp, gw)
+    overflow = jnp.sum(
+        occ_strip3 & (strip_rank >= T), axis=(1, 2), dtype=jnp.int32
+    )
+
+    # strips in slot-major order — a pure reshape of the compact buffer
+    # ((TH, TW) block -> SB x (2, 256) strips -> (SB, 512) spatial rows)
+    got = compact[:N].reshape(N, S, 2 * TW)
+    sv = jnp.broadcast_to(slot_valid[:, :, None], (N, T, SB)).reshape(N, S)
+    got = jnp.where(sv[:, :, None], got, jnp.int32(-1))
+
+    ti = tile_id // gw
+    tj = tile_id % gw
+    rr = jnp.arange(SB, dtype=jnp.int32)
+    b = (ti[:, :, None] * SB + rr[None, None, :]).reshape(N, S)  # block row
+    c = jnp.broadcast_to(tj[:, :, None], (N, T, SB)).reshape(N, S)  # chunk
+    base_s = (b * Wb + c * 128) * 4  # (N, S) strip base keys
+
+    # root flags (see _stats_from_raw for the `< sent` alias guard)
+    flags = (
+        got == base_s[:, :, None] + jnp.asarray(kofs)[None, None]
+    ) & (got < jnp.int32(sent))
+    cnts = jnp.sum(flags, axis=2, dtype=jnp.int32)  # (N, S)
+
+    # ascending-key strip order via a tiny metadata sort (roots must be
+    # id'd in cv2 ascending-key order; slot-major order interleaves tile
+    # columns wrongly whenever >1 tile column is occupied)
+    key_big = jnp.where(sv, base_s, jnp.int32(2**30))
+    iota_s = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[None], (N, S)
+    )
+    _ordk, order = lax.sort_key_val(key_big, iota_s, dimension=1)
+    cnts_o = jnp.take_along_axis(cnts, order, axis=1)
+    cum = jnp.cumsum(cnts_o, axis=1)
+    offs = cum - cnts_o
+    n_roots = cum[:, -1]
+    cs = jnp.arange(C, dtype=jnp.int32)
+    chunk_of_c = jnp.minimum(
+        jnp.sum(
+            (cum[:, None, :] <= cs[None, :, None]).astype(jnp.int32),
+            axis=2,
+        ),
+        S - 1,
+    )  # (N, C) position among ORDERED strips
+    r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
+    strip_of_c = jnp.take_along_axis(order, chunk_of_c, axis=1)  # raw idx
+    _m1, _m2, _m3, perm = _strip_view_meta(8)
+    sel_flags = jnp.take_along_axis(
+        flags, strip_of_c[:, :, None], axis=1
+    )[:, :, jnp.asarray(perm)]  # (N, C, 512) in K-offset order
+    cumk = jnp.cumsum(sel_flags.astype(jnp.int32), axis=2)
+    pos = jnp.argmax(cumk > r_in_chunk[:, :, None], axis=2).astype(jnp.int32)
+    kval = jnp.take_along_axis(base_s, strip_of_c, axis=1) + pos
+    tvalid = cs[None, :] < n_roots[:, None]
+    table = jnp.where(tvalid, kval, jnp.int32(sent + 2))
+
+    # payload contraction: identical carry-free limb factorization to
+    # _stats_from_raw (x = 256c + xl, y = 2b + yl; bases 256-/2-aligned)
+    vs = np.arange(512, dtype=np.int64)
+    xl, yl = vs % 256, (vs >= 256).astype(np.int64)
+    L = jnp.asarray(
+        np.stack(
+            [np.ones(512), xl & 63, xl >> 6, np.zeros(512),
+             yl, np.zeros(512), np.zeros(512)],
+            axis=-1,
+        ).astype(np.float32)
+    )  # (512, 7)
+    xb, yb = 256 * c, 2 * b
+    B = jnp.stack(
+        [
+            jnp.zeros_like(xb), jnp.zeros_like(xb),
+            (xb >> 6) & 63, xb >> 12,
+            yb & 63, (yb >> 6) & 63, yb >> 12,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # (N, S, 7)
+    eq4 = got[:, :, :, None] == table[:, None, None, :]  # (N, S, 512, C)
+    E2 = jnp.sum(eq4, axis=1, dtype=jnp.float32)  # (N, 512, C)
+    cnt = jnp.sum(eq4, axis=2, dtype=jnp.float32)  # (N, S, C)
+    sums = jnp.einsum(
+        "nvc,vk->nck", E2, L, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "nsc,nsk->nck", cnt, B, preferred_element_type=jnp.float32
+    )  # (N, C, 7)
+    count, area, centroid, csum, present = _assemble_stats(
+        sums, n_roots, H, W, C
+    )
+    bbox = (
+        _bbox_from_strips(eq4, b, c, present, H, W)
+        if compute_bbox
+        else jnp.zeros((N, C + 1, 4), jnp.int32)
+    )
+    return {
+        "labels": jnp.zeros((N, H, W), jnp.int32),
+        "count": count,
+        "area": area,
+        "bbox": bbox,
         "centroid": centroid,
         "centroid_sum": csum,
         "overflow": overflow,

@@ -485,6 +485,7 @@ def label_components_tiled(
     jax.jit,
     static_argnames=(
         "H", "W", "tile", "max_rounds", "frames_per_step", "max_run",
+        "compact_tiles", "debug_poison",
     ),
 )
 def label_components_tiled_raw(
@@ -496,6 +497,8 @@ def label_components_tiled_raw(
     max_rounds: int = 64,
     frames_per_step: int = 8,
     max_run: int = 128,
+    compact_tiles: int = 0,
+    debug_poison: bool = False,
 ):
     """Fourth-generation tail: CCL without ANY full-image HBM pass.
 
@@ -525,11 +528,32 @@ def label_components_tiled_raw(
         (2-row x 256-col) block (= one scan-key strip).
       H, W: true image size (static; defines the scan-key bijection).
 
-    Returns (labraw, converged):
+    compact_tiles = T > 0 additionally emits a COMPACT copy of every
+    occupied tile's converged owned block: a (Nf*F, T, TH, TW) int32
+    buffer where frame t's k-th occupied tile (raster order, k < T) holds
+    that tile's labels at slot [t, k]. Each occupied tile's final sweep
+    already has the block in VMEM, so this costs ONE extra same-sized DMA
+    per (changed, occupied) frame-tile — and stats assembly can then read
+    label data from contiguous compact memory instead of row-gathering
+    strips out of the sparse raw buffer (the dominant stats cost at
+    1080p). Slots beyond the k-th occupied tile (and tiles ranked >= T)
+    are UNINITIALIZED — consumers must mask by per-frame occupied-tile
+    count, exactly as they must for the raw buffer itself.
+
+    Returns (labraw, converged) — or (labraw, compact, converged) when
+    compact_tiles > 0:
       labraw: (Nf*F, Hp + 16, Wp + 512) int32 — image pixel (y, x) lives
         at buffer (y + 8, x + 256). Strips of 256 columns are aligned to
         the buffer minor axis, so (..., 256)-reshapes need no copy.
       converged: ()-bool, False if the round cap was hit.
+
+    debug_poison=True donates 0x5A5A5A5A-filled buffers into pass 1's
+    label (and compact) outputs, so UNWRITTEN regions hold a hostile
+    sentinel instead of whatever the allocator left there (zeros in
+    interpret mode — benign!). CI uses this to prove the occupancy
+    masking: any read of a never-written region leaks the poison into
+    stats and fails the bit-equality tests. Never set in production (it
+    pays the full-buffer fill the raw path exists to avoid).
     """
     TH, TW = tile
     assert TW % 256 == 0, "raw CCL tile width must cover whole 256-px strips"
@@ -564,14 +588,41 @@ def label_components_tiled_raw(
     occ3 = occf3.reshape(Nf, F, gh, gw).max(axis=1)  # per GROUP tile
     occ_g = occ3.reshape(-1)
 
+    use_compact = compact_tiles > 0
+    T = compact_tiles
+    if use_compact:
+        # exclusive per-frame occupied-tile rank in raster order — the
+        # compact slot of each occupied tile, scalar-prefetched
+        occb = (occf3 != 0).astype(jnp.int32).reshape(Nfp, gh * gw)
+        rank = (jnp.cumsum(occb, axis=1) - occb).reshape(-1)
+
     def make_pass(forward: bool, first: bool):
-        def kernel(fr_ref, occf_ref, *refs):
-            if first:
-                (msk_in, lab_out, flag_ref,
-                 tilebuf, mskbuf, wcnt, sem_r, sem_m, sem_w) = refs
+        def kernel(*args):
+            if use_compact:
+                fr_ref, occf_ref, rank_ref = args[:3]
+                refs = args[3:]
             else:
-                (lab_in, lab_out, flag_ref,
-                 tilebuf, wcnt, sem_r, sem_w) = refs
+                fr_ref, occf_ref = args[:2]
+                refs = args[2:]
+            cmp_out = None
+            if first:
+                if debug_poison:
+                    # skip the donated poison-fill inputs (aliased to the
+                    # outputs; never read by the kernel)
+                    refs = refs[:1] + refs[1 + (2 if use_compact else 1):]
+                if use_compact:
+                    (msk_in, lab_out, cmp_out, flag_ref,
+                     tilebuf, mskbuf, wcnt, sem_r, sem_m, sem_w) = refs
+                else:
+                    (msk_in, lab_out, flag_ref,
+                     tilebuf, mskbuf, wcnt, sem_r, sem_m, sem_w) = refs
+            else:
+                if use_compact:
+                    (lab_in, cmp_in, lab_out, cmp_out, flag_ref,
+                     tilebuf, wcnt, sem_r, sem_w) = refs
+                else:
+                    (lab_in, lab_out, flag_ref,
+                     tilebuf, wcnt, sem_r, sem_w) = refs
             nf = pl.program_id(0)
             i = pl.program_id(1)
             j = pl.program_id(2)
@@ -695,11 +746,27 @@ def label_components_tiled_raw(
                 wr_copy(f).start()
                 wcnt[0] = wcnt[0] + 1
 
+            def write_compact(f, t):
+                # second same-sized DMA of the owned block into the dense
+                # per-frame slot buffer (rides the same counting drain)
+                if not use_compact:
+                    return
+                slot = rank_ref[(t * gh + i) * gw + j]
+
+                @pl.when(slot < T)
+                def _(f=f, slot=slot):
+                    pltpu.make_async_copy(
+                        tilebuf.at[f, pl.ds(PT, TH), pl.ds(PLW, TW)],
+                        cmp_out.at[nf * F + f, slot],
+                        sem_w,
+                    ).start()
+                    wcnt[0] = wcnt[0] + 1
+
             def drain_writes():
-                for k in range(F):
+                for k in range((2 * F) if use_compact else F):
                     @pl.when(k < wcnt[0])
                     def _(k=k):
-                        wr_copy(k).wait()
+                        wr_copy(0).wait()
 
             def per_frame_first():
                 for f in range(F):
@@ -737,6 +804,7 @@ def label_components_tiled_raw(
                             flag_ref[0, 0, 0] = 1
                         tilebuf[f] = v
                         write_owned(f)
+                        write_compact(f, t)
 
             def per_frame_later():
                 for f in range(F):
@@ -758,12 +826,13 @@ def label_components_tiled_raw(
                         )
 
                         @pl.when(owned_changed)
-                        def _():
+                        def _(f=f, t=t):
                             @pl.when(ring_changed > 0)
                             def _():
                                 flag_ref[0, 0, 0] = 1
                             tilebuf[f] = v
                             write_owned(f)
+                            write_compact(f, t)
 
             occupied = fr_ref[(nf * gh + i) * gw + j] != 0
 
@@ -799,7 +868,7 @@ def label_components_tiled_raw(
         # backward passes reflect (i, j) in-kernel; map the flag to the
         # reflected tile (the one actually processed) — see the dense
         # kernel's make_flag_index for the frontier-soundness argument
-        def flag_index(n, i, j, fr_ref, occf_ref):
+        def flag_index(n, i, j, *prefetch_refs):
             if not forward:
                 i = gh - 1 - i
                 j = gw - 1 - j
@@ -808,14 +877,32 @@ def label_components_tiled_raw(
         return flag_index
 
     lab_shape = jax.ShapeDtypeStruct((Nfp, Hbuf, Wbuf), jnp.int32)
+    cmp_shape = jax.ShapeDtypeStruct((Nfp, T, TH, TW), jnp.int32)
+    n_prefetch = 3 if use_compact else 2
 
-    def run_pass(lab, forward: bool, first: bool, fr_eff):
-        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    def run_pass(lab, cmp, forward: bool, first: bool, fr_eff):
         inputs = [fr_eff, occf]
+        if use_compact:
+            inputs.append(rank)
         if first:
             inputs.append(mask_padded)
+            n_arr = 1
+            if debug_poison:
+                POISON = jnp.int32(0x5A5A5A5A)
+                inputs.append(jnp.full(lab_shape.shape, POISON, jnp.int32))
+                n_arr += 1
+                if use_compact:
+                    inputs.append(
+                        jnp.full(cmp_shape.shape, POISON, jnp.int32)
+                    )
+                    n_arr += 1
         else:
             inputs.append(lab)
+            n_arr = 1
+            if use_compact:
+                inputs.append(cmp)
+                n_arr = 2
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_arr
         scratch = [pltpu.VMEM((F, SH, SW), jnp.int32)]
         if first:
             scratch.append(pltpu.VMEM((F, TH, TW), jnp.uint8))
@@ -824,27 +911,41 @@ def label_components_tiled_raw(
             scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SemaphoreType.DMA(()))
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [lab_shape]
+        if use_compact:
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            out_shape.append(cmp_shape)
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1), make_flag_index(forward), memory_space=pltpu.SMEM
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32)
+        )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=n_prefetch,
             grid=(Nf, gh, gw),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (1, 1, 1), make_flag_index(forward),
-                    memory_space=pltpu.SMEM,
-                ),
-            ],
+            out_specs=out_specs,
             scratch_shapes=scratch,
         )
-        aliases = {} if first else {2: 0}
+        if first:
+            aliases = {}
+            if debug_poison:
+                base = n_prefetch + 1  # poison-lab operand index
+                aliases = {base: 0}
+                if use_compact:
+                    aliases[base + 1] = 1
+        elif use_compact:
+            aliases = {3: 0, 4: 1}
+        else:
+            aliases = {2: 0}
         return pl.pallas_call(
             make_pass(forward, first),
             grid_spec=grid_spec,
-            out_shape=[
-                lab_shape,
-                jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32),
-            ],
+            out_shape=out_shape,
             input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=_interpret(),
@@ -863,7 +964,30 @@ def label_components_tiled_raw(
                 )
         return (jnp.minimum(nb, 1) * occ3).reshape(-1)
 
-    lab, flags = run_pass(None, True, True, occ_g)
+    if use_compact:
+        lab, cmp, flags = run_pass(None, None, True, True, occ_g)
+        fr = frontier(flags.reshape(-1))
+
+        def cond(state):
+            _lab, _cmp, fr, _fwd, passes = state
+            return (jnp.max(fr) > 0) & (passes < 2 * max_rounds)
+
+        def body(state):
+            lab, cmp, fr, fwd, passes = state
+            lab, cmp, flags = lax.cond(
+                fwd,
+                lambda l, c, f: run_pass(l, c, True, False, f),
+                lambda l, c, f: run_pass(l, c, False, False, f),
+                lab, cmp, fr,
+            )
+            return lab, cmp, frontier(flags.reshape(-1)), ~fwd, passes + 1
+
+        lab, cmp, fr, _, _ = lax.while_loop(
+            cond, body, (lab, cmp, fr, jnp.bool_(False), jnp.int32(1))
+        )
+        return lab, cmp, jnp.max(fr) == 0
+
+    lab, flags = run_pass(None, None, True, True, occ_g)
     fr = frontier(flags.reshape(-1))
 
     def cond(state):
@@ -874,8 +998,8 @@ def label_components_tiled_raw(
         lab, fr, fwd, passes = state
         lab, flags = lax.cond(
             fwd,
-            lambda l, f: run_pass(l, True, False, f),
-            lambda l, f: run_pass(l, False, False, f),
+            lambda l, f: run_pass(l, None, True, False, f),
+            lambda l, f: run_pass(l, None, False, False, f),
             lab, fr,
         )
         return lab, frontier(flags.reshape(-1)), ~fwd, passes + 1
