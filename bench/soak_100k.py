@@ -137,36 +137,50 @@ class Abort(Exception):
     pass
 
 
-def run_soak(cfg, H, W, total_frames, ckpt_path, abort_at_batch=None,
-             resume=False, ckpt_every=256, rss_samples=None):
-    """Device-fed streamed run with periodic checkpoints. Returns the row
-    arrays (list of np (k,5) float64)."""
+def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
+             abort_at_batch=None, resume=False, ckpt_every=256,
+             rss_samples=None, timings=None):
+    """Device-fed streamed run with periodic append-only checkpoints
+    (RowLog + O(carry) snapshots). Returns (rowlog, carry).
+
+    timings (dict) enables the stage-split instrumentation: a sync'd
+    (render, device-step) sample every 512 batches plus total host time
+    in drain/checkpoint — the split VERDICT r2 asked for."""
     import jax
     import jax.numpy as jnp
 
-    from tpuva.graph.pipeline import collect_rows, init_carry
+    from tpuva.graph.pipeline import collect_rows_array, init_carry
     from tpuva.graph.pipeline import process_batch_staged, process_batch
-    from tpuva.graph.streaming import load_checkpoint, save_checkpoint
+    from tpuva.graph.streaming import RowLog, load_checkpoint, \
+        save_checkpoint
 
     N = cfg.batch
     render = make_render_jax(H, W, N)
     carry = init_carry(cfg, H, W)
-    rows_np: list = []
+    rlog = RowLog(rowlog_path)
     start = 0
     if resume and os.path.exists(ckpt_path):
-        carry, rows = load_checkpoint(ckpt_path, cfg)
-        rows_np = [np.asarray(rows, np.float64).reshape(-1, 5)]
+        carry, saved = load_checkpoint(ckpt_path, cfg)
+        rlog.truncate(int(saved))
         start = int(carry.frame_idx)
+    else:
+        rlog.truncate(0)
     staged = jax.default_backend() == "tpu"
 
     batches = (total_frames - start) // N
     pending: list = []
+    tm = timings if timings is not None else {}
+    tm.setdefault("drain_s", 0.0)
+    tm.setdefault("ckpt_s", 0.0)
+    tm.setdefault("samples", [])
+    tm.setdefault("active_tracks", 0)
 
     def drain():
         # one stacked transfer per ~16 batches: each host<->device round
         # trip costs ~28 ms through this box's tunnel (CLAUDE.md)
         if not pending:
             return
+        td = time.perf_counter()
         R = np.asarray(jnp.stack([o["rows"] for o in pending]))
         V = np.asarray(jnp.stack([o["row_valid"] for o in pending]))
         S = np.asarray(jnp.stack([o["row_sums"] for o in pending]))
@@ -175,33 +189,47 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, abort_at_batch=None,
                 jnp.stack([o["stats_overflow"] for o in pending])
             )
             assert int(O.max()) == 0, "sparse-strip overflow in soak"
+        tm["active_tracks"] = int(np.asarray(pending[-1]["active_tracks"]))
         for i in range(R.shape[0]):
-            got = collect_rows(R[i], V[i], row_sums=S[i])
-            rows_np.append(np.asarray(got, np.float64).reshape(-1, 5))
+            rlog.append(collect_rows_array(R[i], V[i], row_sums=S[i]))
         pending.clear()
+        tm["drain_s"] += time.perf_counter() - td
 
     for b in range(batches):
         t0 = start + b * N
+        sample = timings is not None and b % 512 == 17
+        if sample:
+            ts0 = time.perf_counter()
         frames = render(jnp.int32(t0))
+        if sample:
+            np.asarray(frames[0, 0, 0])  # force through the tunnel
+            ts1 = time.perf_counter()
         if staged:
             carry, out = process_batch_staged(cfg, carry, frames)
         else:
             carry, out = process_batch(cfg, carry, frames)
+        if sample:
+            np.asarray(out["n_det"][0])
+            tm["samples"].append(
+                (time.perf_counter() - ts1, ts1 - ts0)
+            )  # (device_step_s, render_s) — each includes one ~28ms sync
         pending.append(out)
         if len(pending) >= 16:
             drain()
         done = b + 1
         if done % ckpt_every == 0:
             drain()
+            tc = time.perf_counter()
             jax.block_until_ready(carry.bg)
-            flat = [tuple(r) for arr in rows_np for r in arr]
-            save_checkpoint(ckpt_path, carry, flat, cfg)
+            rlog.flush()
+            save_checkpoint(ckpt_path, carry, rlog.count(), cfg)
+            tm["ckpt_s"] += time.perf_counter() - tc
             if rss_samples is not None:
                 rss_samples.append((t0 + N, rss_mb()))
         if abort_at_batch is not None and done >= abort_at_batch:
             raise Abort()
     drain()
-    return rows_np, carry
+    return rlog, carry
 
 
 def main():
@@ -212,7 +240,7 @@ def main():
     ap.add_argument("--frames", type=int, default=100_352)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--workdir", default="/tmp/tpuva_soak")
     ap.add_argument("--rss-slack", type=float, default=512.0,
                     help="max allowed RSS growth (MB) over the 2nd half")
@@ -227,14 +255,18 @@ def main():
 
     # ---------------- run A: uninterrupted
     ckpt_a = os.path.join(args.workdir, "a.npz")
-    if os.path.exists(ckpt_a):
-        os.unlink(ckpt_a)
+    rlog_a = os.path.join(args.workdir, "a.rows")
+    for p in (ckpt_a, rlog_a):
+        if os.path.exists(p):
+            os.unlink(p)
     rss = []
+    tm: dict = {}
     t0 = time.perf_counter()
-    rows_a, carry_a = run_soak(cfg, H, W, T, ckpt_a, rss_samples=rss)
+    log_a, carry_a = run_soak(cfg, H, W, T, ckpt_a, rlog_a,
+                              rss_samples=rss, timings=tm)
     dt = time.perf_counter() - t0
     fps = T / dt
-    flat_a = np.concatenate(rows_a, axis=0)
+    flat_a = log_a.read()
     h5_a = os.path.join(args.workdir, "a.h5")
     write_tracks_hdf5(h5_a, [tuple(r) for r in flat_a])
 
@@ -245,17 +277,19 @@ def main():
 
     # ---------------- run B: kill at half, resume, finish
     ckpt_b = os.path.join(args.workdir, "b.npz")
-    if os.path.exists(ckpt_b):
-        os.unlink(ckpt_b)
+    rlog_b = os.path.join(args.workdir, "b.rows")
+    for p in (ckpt_b, rlog_b):
+        if os.path.exists(p):
+            os.unlink(p)
     nbatches = T // args.batch
     try:
-        run_soak(cfg, H, W, T, ckpt_b, abort_at_batch=nbatches // 2,
-                 ckpt_every=64)
+        run_soak(cfg, H, W, T, ckpt_b, rlog_b,
+                 abort_at_batch=nbatches // 2, ckpt_every=64)
     except Abort:
         pass
-    rows_b, carry_b = run_soak(cfg, H, W, T, ckpt_b, resume=True,
-                               ckpt_every=64)
-    flat_b = np.concatenate(rows_b, axis=0)
+    log_b, carry_b = run_soak(cfg, H, W, T, ckpt_b, rlog_b, resume=True,
+                              ckpt_every=64)
+    flat_b = log_b.read()
     h5_b = os.path.join(args.workdir, "b.h5")
     write_tracks_hdf5(h5_b, [tuple(r) for r in flat_b])
     with open(h5_a, "rb") as fa, open(h5_b, "rb") as fb:
@@ -285,16 +319,31 @@ def main():
     bg32 = np.asarray(carry_a.bg)[y0:y0 + CS, x0:x0 + CS].astype(np.float64)
     drift = float(np.abs(bg32 - bg64).max())
 
+    # stage split: sampled sync'd (device_step, render) pairs each carry
+    # one ~28 ms tunnel sync (CLAUDE.md) — report medians as upper bounds
+    samp = np.asarray(tm.get("samples", []) or [(0.0, 0.0)])
     result = {
         "metric": "config-4 soak",
         "frames": T,
         "resolution": f"{H}x{W}",
+        "batch": args.batch,
         "fps": round(fps, 1),
         "rows": int(len(flat_a)),
         "rss_mb_final": round(rss[-1][1], 1) if rss else None,
         "rss_growth_2nd_half_mb": round(rss_growth, 1),
         "resume_hdf5_byte_identical": bool(identical),
         "bg_drift_f32_vs_f64_max_abs": drift,
+        "active_tracks_final": int(tm.get("active_tracks", 0)),
+        "stage_split": {
+            "device_step_ms_per_batch_incl_sync": round(
+                float(np.median(samp[:, 0])) * 1e3, 1
+            ),
+            "render_ms_per_batch_incl_sync": round(
+                float(np.median(samp[:, 1])) * 1e3, 1
+            ),
+            "drain_s_total": round(tm.get("drain_s", 0.0), 1),
+            "ckpt_s_total": round(tm.get("ckpt_s", 0.0), 1),
+        },
     }
     print(json.dumps(result))
     with open("SOAK_100K.json", "w") as fh:

@@ -117,6 +117,46 @@ def test_staged_path_matches_process_batch():
     np.testing.assert_array_equal(np.asarray(c1.bg), np.asarray(c2.bg))
 
 
+def test_staged_otsu_matches_process_batch():
+    """The staged Otsu route (fused diff-emit kernel -> MXU histogram ->
+    jnp morphology -> raw CCL tail) must be bit-identical to the jnp
+    Otsu path (same rint quantize, strict compare, cv2 morphology)."""
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import (
+        collect_rows,
+        init_carry,
+        process_batch,
+        process_batch_staged,
+    )
+
+    clip, _, plate = moving_disk_clip(
+        h=96, w=144, frames=16, radius=9, noise_sigma=2.0, seed=12
+    )
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.05),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        segment=SegmentConfig(threshold="otsu", min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    c1 = init_carry(cfg, 96, 144, plate)
+    c2 = init_carry(cfg, 96, 144, plate)
+    rows1, rows2 = [], []
+    for s in range(0, 16, 8):
+        b = jnp.asarray(clip[s : s + 8])
+        c1, o1 = process_batch(cfg, c1, b)
+        c2, o2 = process_batch_staged(cfg, c2, b)
+        rows1.extend(collect_rows(o1["rows"], o1["row_valid"],
+                                  row_sums=o1["row_sums"]))
+        rows2.extend(collect_rows(o2["rows"], o2["row_valid"],
+                                  row_sums=o2["row_sums"]))
+        assert int(np.asarray(o2["stats_overflow"]).max()) == 0
+    assert rows1 == rows2
+    np.testing.assert_array_equal(np.asarray(c1.bg), np.asarray(c2.bg))
+
+
 def test_padded_occ_output_matches_cropped():
     """fused_segment(padded_occ=True) must return (a) the same mask as the
     cropped path inside the image, (b) exact zeros outside it, and (c)

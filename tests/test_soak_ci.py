@@ -42,17 +42,20 @@ def test_soak_kill_resume_byte_identical(soak, tmp_path):
     H, W, T = 96, 160, 256
 
     ckpt_a = str(tmp_path / "a.npz")
-    rows_a, carry_a = soak.run_soak(cfg, H, W, T, ckpt_a, ckpt_every=8)
-    flat_a = np.concatenate(rows_a, axis=0)
+    rlog_a = str(tmp_path / "a.rows")
+    log_a, carry_a = soak.run_soak(cfg, H, W, T, ckpt_a, rlog_a,
+                                   ckpt_every=8)
+    flat_a = log_a.read()
     assert len(flat_a) > 0
 
     ckpt_b = str(tmp_path / "b.npz")
+    rlog_b = str(tmp_path / "b.rows")
     with pytest.raises(soak.Abort):
-        soak.run_soak(cfg, H, W, T, ckpt_b, abort_at_batch=16,
+        soak.run_soak(cfg, H, W, T, ckpt_b, rlog_b, abort_at_batch=16,
                       ckpt_every=8)
-    rows_b, carry_b = soak.run_soak(cfg, H, W, T, ckpt_b, resume=True,
-                                    ckpt_every=8)
-    flat_b = np.concatenate(rows_b, axis=0)
+    log_b, carry_b = soak.run_soak(cfg, H, W, T, ckpt_b, rlog_b,
+                                   resume=True, ckpt_every=8)
+    flat_b = log_b.read()
 
     h5_a, h5_b = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
     write_tracks_hdf5(h5_a, [tuple(r) for r in flat_a])

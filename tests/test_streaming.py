@@ -77,6 +77,42 @@ def test_checkpoint_resume_equivalence(tmp_path):
     assert rows_equal(rows, full)
 
 
+def test_row_log_mode_resume_equivalence(tmp_path):
+    """Append-only RowLog mode: checkpoints store only the row count,
+    rows stream to disk, resume truncates the log — final rows identical
+    to the in-RAM run AND to an interrupted+resumed run."""
+    clip, plate = clip_and_plate(frames=64)
+    full = StreamingPipeline(CFG, parallel_bg=False).run(
+        VideoMemory(clip), background0=plate
+    )
+
+    ckpt = str(tmp_path / "state.npz")
+    rlogp = str(tmp_path / "rows.bin")
+    sp = StreamingPipeline(
+        CFG, checkpoint_path=ckpt, checkpoint_every=2, parallel_bg=False,
+        row_log_path=rlogp,
+    )
+    arr = sp.run(VideoMemory(clip), background0=plate)
+    assert isinstance(arr, np.ndarray) and arr.shape[1] == 5
+    assert rows_equal([tuple(r) for r in arr], full)
+
+    # interrupted run: first half only, then resume over the full clip
+    # (the log holds rows past the last checkpoint; resume must truncate)
+    ckpt2 = str(tmp_path / "state2.npz")
+    rlogp2 = str(tmp_path / "rows2.bin")
+    sp1 = StreamingPipeline(
+        CFG, checkpoint_path=ckpt2, checkpoint_every=3, parallel_bg=False,
+        row_log_path=rlogp2,
+    )
+    sp1.run(VideoMemory(clip[:32]), background0=plate)
+    sp2 = StreamingPipeline(
+        CFG, checkpoint_path=ckpt2, checkpoint_every=3, parallel_bg=False,
+        row_log_path=rlogp2,
+    )
+    arr2 = sp2.run(VideoMemory(clip), background0=plate, resume=True)
+    assert rows_equal([tuple(r) for r in arr2], full)
+
+
 def test_checkpoint_config_mismatch_rejected(tmp_path):
     clip, plate = clip_and_plate(frames=16)
     ckpt = str(tmp_path / "state.npz")

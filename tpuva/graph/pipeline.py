@@ -105,12 +105,66 @@ def background_trajectory(
 
 def _can_fuse(cfg: PipelineConfig) -> bool:
     """The Pallas fused front-end covers blur+median(k=3)+bg+threshold+
-    morph. Otsu thresholding needs a whole-frame histogram — a global
-    statistic the tile-local single-pass kernel cannot see — so it runs
-    on the jnp path."""
+    morph in one kernel. Otsu thresholding needs a whole-frame histogram
+    — a global statistic the tile-local single-pass kernel cannot see —
+    so it takes the STAGED Otsu route instead (_otsu_mask_stage: fused
+    diff emit → MXU histogram + per-frame threshold → jnp morphology);
+    see _can_stage."""
     return (
         cfg.median is None or cfg.median.ksize in (1, 3)
     ) and cfg.segment.threshold != "otsu"
+
+
+def _can_stage(cfg: PipelineConfig) -> bool:
+    """Configs the staged TPU path (Pallas front-end + raw CCL tail)
+    covers: everything _can_fuse does, plus Otsu via the diff-emit
+    front-end."""
+    return cfg.median is None or cfg.median.ksize in (1, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _otsu_mask_stage(cfg: PipelineConfig, carry: "PipelineCarry", frames):
+    """Staged Otsu front-end: the fused Pallas kernel emits rounded
+    |F - B| uint8 magnitudes (VMEM-resident blur/median/background — the
+    expensive float work), a tiny MXU-histogram dispatch finds each
+    frame's Otsu threshold, and the jnp morphology ops finish the mask.
+    Bit-identical to process_batch's jnp Otsu path (same rint quantize,
+    same strict compare, same cv2 morphology)."""
+    from tpuva.ops.filters import otsu_threshold
+    from tpuva.ops.pallas import fused_segment
+
+    bg0 = jnp.where(
+        carry.bg_valid,
+        carry.bg,
+        filter_batch(cfg, frames[:1].astype(jnp.float32))[0],
+    )
+    du8, bg_last = fused_segment(
+        frames,
+        bg0,
+        alpha=cfg.background.alpha,
+        threshold=0.0,
+        blur_ksize=cfg.blur.ksize if cfg.blur else 0,
+        blur_sigma=cfg.blur.sigma if cfg.blur else 0.0,
+        median_ksize=(
+            cfg.median.ksize if cfg.median and cfg.median.ksize > 1 else 0
+        ),
+        emit="diff",
+    )
+    thr = otsu_threshold(du8)  # (N,) float32
+    mask = jnp.where(
+        du8.astype(jnp.int32) > thr.astype(jnp.int32)[:, None, None],
+        jnp.uint8(255),
+        jnp.uint8(0),
+    )
+    if cfg.morph_open is not None:
+        se = structuring_element(cfg.morph_open.shape, cfg.morph_open.ksize)
+        mask = morph_open(mask, se, cfg.morph_open.iterations)
+    if cfg.morph_close is not None:
+        se = structuring_element(
+            cfg.morph_close.shape, cfg.morph_close.ksize
+        )
+        mask = morph_close(mask, se, cfg.morph_close.iterations)
+    return mask, bg_last
 
 
 @partial(jax.jit, static_argnames=("cfg", "padded_occ"))
@@ -149,6 +203,7 @@ def _fused_mask_stage(
     jax.jit,
     static_argnames=(
         "cfg", "return_masks", "max_components", "sparse_strips", "H", "W",
+        "compact",
     ),
 )
 def _post_mask_stage(
@@ -162,13 +217,22 @@ def _post_mask_stage(
     occ128: jnp.ndarray | None = None,
     H: int | None = None,
     W: int | None = None,
+    compact: bool = True,
 ):
     """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
     path — see process_batch_staged).
 
-    Gen-4 tail: the RAW-buffer CCL kernel (no label-map fill, no epilogue
-    pass) feeds _stats_from_raw, whose only label reads are row gathers of
-    occupied strips.
+    Gen-5 tail (compact=True, default): the RAW-buffer CCL kernel also
+    DMAs each occupied tile's converged block into a dense per-frame
+    compact buffer, and _stats_from_compact reads label data from it with
+    ZERO gathers (the raw path's strip gather + selection chains were
+    ~17 ms of the 81 ms staged batch at 1080p/256). Capacity is
+    tile-granular: ceil(sparse_strips / 32) tiles ≈ the same foreground
+    budget as the sparse-strip path.
+
+    Gen-4 tail (compact=False): the RAW-buffer CCL kernel (no label-map
+    fill, no epilogue pass) feeds _stats_from_raw, whose only label reads
+    are row gathers of occupied strips.
 
     Two entry shapes:
     - occ128 given (fast path): `mask` is the fused kernel's UNCROPPED
@@ -185,7 +249,7 @@ def _post_mask_stage(
     foreground pixels per frame); frames exceeding it are reported in
     out["stats_overflow"] (their stats silently drop the excess strips —
     raise the capacity if the workload is that dense)."""
-    from tpuva.ops.label import _stats_from_raw
+    from tpuva.ops.label import _stats_from_compact, _stats_from_raw
     from tpuva.ops.pallas.ccl import label_components_tiled_raw
 
     if occ128 is not None:
@@ -212,13 +276,22 @@ def _post_mask_stage(
         strip_occ = lax.reduce_window(
             o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
         )
-    labraw, ccl_converged = label_components_tiled_raw(
-        mp, strip_occ, H, W
-    )
-    stats = _stats_from_raw(
-        labraw, strip_occ, H, W,
-        max_components=max_components, sparse_strips=sparse_strips,
-    )
+    if compact:
+        ctiles = max(1, -(-sparse_strips // 32))
+        _labraw, cbuf, ccl_converged = label_components_tiled_raw(
+            mp, strip_occ, H, W, compact_tiles=ctiles
+        )
+        stats = _stats_from_compact(
+            cbuf, strip_occ, H, W, max_components=max_components
+        )
+    else:
+        labraw, ccl_converged = label_components_tiled_raw(
+            mp, strip_occ, H, W
+        )
+        stats = _stats_from_raw(
+            labraw, strip_occ, H, W,
+            max_components=max_components, sparse_strips=sparse_strips,
+        )
     carry2, out = _finish_batch(
         cfg, carry, stats, mfin, bg_last, return_masks
     )
@@ -261,6 +334,9 @@ def _finish_batch(cfg, carry, stats, mask, bg_last, return_masks):
         "row_valid": row_valid,
         "n_det": n_det,
         "row_sums": det_sums,
+        # end-of-batch active-track count (SURVEY §5.5 observability) —
+        # computed on device, rides the same drain transfer as the rows
+        "active_tracks": jnp.sum(tstate.active, dtype=jnp.int32),
     }
     if return_masks:
         out["masks"] = mask
@@ -290,6 +366,13 @@ def process_batch_staged(
     from tpuva.ops.pallas.fused_segment import fused_tile
 
     N, H, W = frames.shape
+    if cfg.segment.threshold == "otsu":
+        mask, bg_last = _otsu_mask_stage(cfg, carry, frames)
+        return _post_mask_stage(
+            cfg, carry, mask, bg_last,
+            return_masks=return_masks, max_components=max_components,
+            sparse_strips=sparse_strips,
+        )
     _th, _tw, Hp, Wp = fused_tile(H, W)
     if Hp % 64 == 0 and Wp % 256 == 0:
         mask, bg_last, occ128 = _fused_mask_stage(
@@ -372,30 +455,44 @@ def process_batch(
     return _finish_batch(cfg, carry, stats, mask, bg_last, return_masks)
 
 
-def collect_rows(rows: np.ndarray, row_valid: np.ndarray, max_frame=None,
-                 row_sums: np.ndarray | None = None):
-    """Host-side: flatten (N, D, 5) device rows into python tuples.
+def collect_rows_array(rows: np.ndarray, row_valid: np.ndarray,
+                       max_frame=None,
+                       row_sums: np.ndarray | None = None) -> np.ndarray:
+    """Host-side: flatten (N, D, 5) device rows into a (k, 5) float64
+    array of (track_id, frame, x, y, area), in (frame, slot) order —
+    vectorized numpy (the per-row Python loop cost ~35% of streamed
+    driver time at 100k-frame scale).
 
-    When row_sums (N, D, 2 int32 of sx, sy) is given, centroids are recomputed
-    as float64 sx/area — bit-identical to cv2.connectedComponentsWithStats."""
-    out = []
+    When row_sums (N, D, 2 int32 of sx, sy) is given, centroids are
+    recomputed as float64 sx/area — bit-identical to
+    cv2.connectedComponentsWithStats (float32→float64 widening of the
+    stored columns is exact, so this matches the scalar path bit for
+    bit)."""
     rows = np.asarray(rows)
     row_valid = np.asarray(row_valid)
+    D = rows.shape[-1]
+    r2 = rows.reshape(-1, D)
+    sel = row_valid.reshape(-1)
+    if max_frame is not None:
+        sel = sel & (r2[:, 1] < max_frame)
+    out = r2[sel].astype(np.float64)
     if row_sums is not None:
-        row_sums = np.asarray(row_sums)
-    for t in range(rows.shape[0]):
-        for j in range(rows.shape[1]):
-            if not row_valid[t, j]:
-                continue
-            tid, frame, x, y, area = rows[t, j]
-            if max_frame is not None and frame >= max_frame:
-                continue
-            if row_sums is not None:
-                area_i = float(area)
-                x = float(row_sums[t, j, 0]) / area_i
-                y = float(row_sums[t, j, 1]) / area_i
-            out.append((int(tid), int(frame), float(x), float(y), float(area)))
+        s2 = np.asarray(row_sums).reshape(-1, 2)[sel].astype(np.float64)
+        area = out[:, 4]
+        out[:, 2] = s2[:, 0] / area
+        out[:, 3] = s2[:, 1] / area
     return out
+
+
+def collect_rows(rows: np.ndarray, row_valid: np.ndarray, max_frame=None,
+                 row_sums: np.ndarray | None = None):
+    """collect_rows_array, as the legacy list of python tuples
+    ((int, int, float, float, float) per row)."""
+    arr = collect_rows_array(rows, row_valid, max_frame, row_sums)
+    return [
+        (int(r[0]), int(r[1]), float(r[2]), float(r[3]), float(r[4]))
+        for r in arr
+    ]
 
 
 def process_clip(
@@ -429,7 +526,7 @@ def process_clip(
         if n < N:
             pad = np.repeat(chunk[-1:], N - n, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        if use_pallas and _can_fuse(cfg) and jax.default_backend() == "tpu":
+        if use_pallas and _can_stage(cfg) and jax.default_backend() == "tpu":
             carry, out = process_batch_staged(
                 cfg,
                 carry,

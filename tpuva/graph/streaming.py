@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from tpuva.graph.config import PipelineConfig
 from tpuva.graph.pipeline import (
     PipelineCarry,
-    _can_fuse,
-    collect_rows,
+    _can_stage,
+    collect_rows_array,
     init_carry,
     process_batch,
     process_batch_staged,
@@ -36,9 +36,57 @@ from tpuva.track.table import TrackState
 from tpuva.utils import BatchLogger
 
 
-def save_checkpoint(path: str, carry: PipelineCarry, rows: list,
+class RowLog:
+    """Append-only binary trajectory-row store: float64 (k, 5) records of
+    (track_id, frame, x, y, area).
+
+    For unbounded streams (SURVEY §5.4): checkpointing previously
+    re-serialized the FULL row history into every snapshot — O(rows²)
+    cumulative IO over a long run, plus unbounded host RAM. With a
+    RowLog, drained rows are appended once and the checkpoint stores only
+    the durable row COUNT; resume truncates the log back to that count
+    (discarding rows written after the snapshot), keeping checkpoint IO
+    O(new rows) and host memory O(batch)."""
+
+    RECORD = 5 * 8  # five float64 columns
+
+    def __init__(self, path: str):
+        self.path = path
+        # create if missing, keep existing contents (resume truncates)
+        self._fh = open(path, "ab")
+
+    def append(self, arr: np.ndarray) -> None:
+        a = np.ascontiguousarray(np.asarray(arr, np.float64).reshape(-1, 5))
+        self._fh.write(a.tobytes())
+
+    def flush(self) -> None:
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+
+    def count(self) -> int:
+        self._fh.flush()
+        return os.path.getsize(self.path) // self.RECORD
+
+    def truncate(self, n_rows: int) -> None:
+        self._fh.flush()
+        self._fh.truncate(n_rows * self.RECORD)
+
+    def read(self) -> np.ndarray:
+        self._fh.flush()
+        data = np.fromfile(self.path, dtype=np.float64)
+        return data.reshape(-1, 5)
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def save_checkpoint(path: str, carry: PipelineCarry, rows,
                     cfg: PipelineConfig) -> None:
-    """Atomic snapshot of the scan carry + rows so far (npz)."""
+    """Atomic snapshot of the scan carry + rows so far (npz).
+
+    rows: list of tuples or (k, 5) ndarray — embedded in the snapshot;
+    or an int — the durable row COUNT of an external RowLog (the
+    append-only mode; the snapshot then stays O(carry))."""
     payload = {
         "bg": np.asarray(carry.bg),
         "bg_valid": np.asarray(carry.bg_valid),
@@ -48,11 +96,14 @@ def save_checkpoint(path: str, carry: PipelineCarry, rows: list,
         "track_missed": np.asarray(carry.track.missed),
         "track_active": np.asarray(carry.track.active),
         "track_next_id": np.asarray(carry.track.next_id),
-        "rows": np.asarray(rows, np.float64).reshape(-1, 5),
         "config_json": np.frombuffer(
             cfg.to_json().encode(), dtype=np.uint8
         ),
     }
+    if isinstance(rows, (int, np.integer)):
+        payload["row_count"] = np.int64(rows)
+    else:
+        payload["rows"] = np.asarray(rows, np.float64).reshape(-1, 5)
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     try:
@@ -66,7 +117,10 @@ def save_checkpoint(path: str, carry: PipelineCarry, rows: list,
 
 
 def load_checkpoint(path: str, cfg: PipelineConfig):
-    """Returns (carry, rows) or raises. Validates the config matches."""
+    """Returns (carry, rows) or raises. Validates the config matches.
+
+    rows is a list of tuples (embedded-rows snapshots) or an int row
+    count (append-only RowLog snapshots — truncate the log to it)."""
     z = np.load(path)
     saved_cfg = bytes(z["config_json"]).decode()
     if PipelineConfig.from_json(saved_cfg) != cfg:
@@ -85,8 +139,20 @@ def load_checkpoint(path: str, cfg: PipelineConfig):
         ),
         frame_idx=jnp.asarray(z["frame_idx"]),
     )
+    if "row_count" in z:
+        return carry, int(z["row_count"])
     rows = [tuple(r) for r in z["rows"]]
     return carry, rows
+
+
+def _as_tuples(chunks: list) -> list:
+    """(k, 5) float64 arrays -> legacy (int, int, float, float, float)
+    row tuples."""
+    return [
+        (int(r[0]), int(r[1]), float(r[2]), float(r[3]), float(r[4]))
+        for arr in chunks
+        for r in arr
+    ]
 
 
 class StreamingPipeline:
@@ -106,6 +172,12 @@ class StreamingPipeline:
     overflow and CCL non-convergence (staged TPU path) raise when
     strict=True (default) and warn + count otherwise (see
     .overflow_frames / .ccl_unconverged_batches).
+
+    row_log_path enables the append-only unbounded-stream mode: drained
+    rows stream to a RowLog file instead of host RAM, checkpoints store
+    only the durable row count (O(carry) snapshots instead of rewriting
+    the full history), and run() returns the (k, 5) float64 row array
+    read back from the log.
     """
 
     def __init__(
@@ -120,6 +192,7 @@ class StreamingPipeline:
         use_pallas: bool = False,
         sparse_strips: int = 256,
         strict: bool = True,
+        row_log_path: Optional[str] = None,
     ):
         self.cfg = cfg
         self.checkpoint_path = checkpoint_path
@@ -130,14 +203,16 @@ class StreamingPipeline:
         self.use_pallas = use_pallas
         self.sparse_strips = sparse_strips
         self.strict = strict
+        self.row_log_path = row_log_path
         self.overflow_frames = 0
         self.ccl_unconverged_batches = 0
+        self.active_tracks = 0  # last drained end-of-batch count
         self.logger = BatchLogger(enabled=log)
 
     def _step(self, cfg, carry, dev_batch):
         if (
             self.use_pallas
-            and _can_fuse(cfg)
+            and _can_stage(cfg)
             and jax.default_backend() == "tpu"
         ):
             return process_batch_staged(
@@ -159,11 +234,14 @@ class StreamingPipeline:
         background0: Optional[np.ndarray] = None,
         resume: bool = True,
     ):
-        """Process the whole video; returns trajectory rows. If a
-        checkpoint exists (and resume=True), continues from it."""
+        """Process the whole video; returns trajectory rows — a list of
+        (tid, frame, x, y, area) tuples, or a (k, 5) float64 array in
+        row_log mode. If a checkpoint exists (and resume=True), continues
+        from it."""
         cfg = self.cfg
         W, H = video.size
-        rows: list = []
+        chunks: list = []  # list of (k, 5) float64 arrays
+        rlog = RowLog(self.row_log_path) if self.row_log_path else None
         carry = init_carry(cfg, H, W, background0)
         start_frame = 0
         if (
@@ -171,12 +249,34 @@ class StreamingPipeline:
             and self.checkpoint_path
             and os.path.exists(self.checkpoint_path)
         ):
-            carry, rows = load_checkpoint(self.checkpoint_path, cfg)
+            carry, saved = load_checkpoint(self.checkpoint_path, cfg)
+            if isinstance(saved, int):
+                if rlog is None:
+                    raise ValueError(
+                        "checkpoint stores a RowLog count but no "
+                        "row_log_path was given"
+                    )
+                rlog.truncate(saved)
+            else:
+                if rlog is not None:
+                    raise ValueError(
+                        "checkpoint embeds rows but row_log_path is set"
+                    )
+                chunks = [np.asarray(saved, np.float64).reshape(-1, 5)]
             start_frame = int(carry.frame_idx)
+
+        def rows_state():
+            return rlog.count() if rlog is not None else np.concatenate(
+                chunks, axis=0
+            ) if chunks else np.zeros((0, 5))
 
         total = video.frame_count
         if start_frame >= total:
-            return rows
+            if rlog is not None:
+                out = rlog.read()
+                rlog.close()
+                return out
+            return _as_tuples(chunks)
         source = video[start_frame:] if start_frame else video
         stager = BatchStager(source, cfg.batch, queue_depth=self.queue_depth)
         # keep at most 2 batches of un-collected device output in flight so
@@ -190,20 +290,24 @@ class StreamingPipeline:
                 pending.append((n, out))
                 last_n = n
                 if len(pending) >= 2:
-                    self._drain(pending, rows, upto=1)
+                    self._drain(pending, chunks, rlog, upto=1)
                 batches_done += 1
                 self.logger.log(
                     n, queue=stager.depth,
-                    tracks=None,
+                    tracks=self.active_tracks,
                 )
                 if (
                     self.checkpoint_path
                     and batches_done % self.checkpoint_every == 0
                 ):
-                    self._drain(pending, rows)
+                    self._drain(pending, chunks, rlog)
                     jax.block_until_ready(carry.bg)
-                    save_checkpoint(self.checkpoint_path, carry, rows, cfg)
-            self._drain(pending, rows)
+                    if rlog is not None:
+                        rlog.flush()
+                    save_checkpoint(
+                        self.checkpoint_path, carry, rows_state(), cfg
+                    )
+            self._drain(pending, chunks, rlog)
             # a padded tail batch perturbs the carry past the stream end
             # (repeated pad frames enter the background model / tracker):
             # persisting it would poison a resume against a later-appended
@@ -211,21 +315,34 @@ class StreamingPipeline:
             # the last periodic checkpoint remains authoritative.
             if self.checkpoint_path and last_n == cfg.batch:
                 jax.block_until_ready(carry.bg)
-                save_checkpoint(self.checkpoint_path, carry, rows, cfg)
+                if rlog is not None:
+                    rlog.flush()
+                save_checkpoint(
+                    self.checkpoint_path, carry, rows_state(), cfg
+                )
         finally:
             stager.close()
-        return rows
+        if rlog is not None:
+            out = rlog.read()
+            rlog.close()
+            return out
+        return _as_tuples(chunks)
 
-    def _drain(self, pending: list, rows: list, upto: Optional[int] = None):
+    def _drain(self, pending: list, chunks: list, rlog,
+               upto: Optional[int] = None):
         while pending if upto is None else len(pending) > upto:
             n, out = pending.pop(0)
             self._check_capacity(out, n)
-            rows.extend(
-                collect_rows(
-                    out["rows"][:n], out["row_valid"][:n],
-                    row_sums=out["row_sums"][:n],
-                )
+            if "active_tracks" in out:
+                self.active_tracks = int(np.asarray(out["active_tracks"]))
+            arr = collect_rows_array(
+                out["rows"][:n], out["row_valid"][:n],
+                row_sums=out["row_sums"][:n],
             )
+            if rlog is not None:
+                rlog.append(arr)
+            else:
+                chunks.append(arr)
 
     def _check_capacity(self, out: dict, n: int) -> None:
         """Surface silent-accuracy-loss conditions from the staged path

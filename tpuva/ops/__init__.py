@@ -3,6 +3,7 @@ from tpuva.ops.filters import (  # noqa: F401
     erode,
     gaussian_blur,
     gaussian_kernel_1d,
+    histogram_u8,
     median_blur,
     morph_close,
     morph_open,
@@ -12,3 +13,8 @@ from tpuva.ops.filters import (  # noqa: F401
 )
 from tpuva.ops.background import background_update  # noqa: F401
 from tpuva.ops.label import connected_components_with_stats  # noqa: F401
+from tpuva.ops.warp import (  # noqa: F401
+    invert_affine,
+    rotation_matrix,
+    warp_affine,
+)

@@ -148,6 +148,30 @@ def threshold(x: jnp.ndarray, thresh: float, maxval: float = 255.0) -> jnp.ndarr
     return jnp.where(x > thresh, jnp.uint8(int(maxval)), jnp.uint8(0))
 
 
+def histogram_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """256-bin histogram of a uint8 image batch WITHOUT a scatter.
+
+    jnp.bincount lowers to a scatter-add — on the repo's TPU avoid-list.
+    Instead the value is split v = 16*hi + lo and the histogram becomes
+    ONE MXU matmul per image: hist2d[hi, lo] = Σ_p 1[x>>4 = hi]·1[x&15 = lo]
+    = onehot_hi(P, 16)ᵀ @ onehot_lo(P, 16). The one-hot compares are 32
+    per pixel (vs 256 for a direct compare-reduce) and the contraction
+    runs on the MXU; counts are exact in f32 for any image < 2^24 px.
+
+    x: (..., H, W) uint8 → (..., 256) float32 counts, bin v = pixel value.
+    """
+    flat = x.reshape(x.shape[:-2] + (-1,)).astype(jnp.int32)
+    hi = (flat >> 4)[..., None] == jnp.arange(16, dtype=jnp.int32)
+    lo = (flat & 15)[..., None] == jnp.arange(16, dtype=jnp.int32)
+    h2 = jnp.einsum(
+        "...ph,...pl->...hl",
+        hi.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return h2.reshape(x.shape[:-2] + (256,))
+
+
 def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     """Otsu threshold of a uint8 image (cv2.THRESH_OTSU semantics):
     256-bin histogram, maximize inter-class variance; on ties cv2 takes the
@@ -156,11 +180,8 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     x: (..., H, W) uint8; leading dims are reduced per-image via vmap by the
     caller if desired — this function reduces over the trailing two dims.
     """
-    flat = x.reshape(x.shape[:-2] + (-1,)).astype(jnp.int32)
     nbins = 256
-    hist = jax.vmap(lambda v: jnp.bincount(v, length=nbins))(
-        flat.reshape(-1, flat.shape[-1])
-    ).reshape(x.shape[:-2] + (nbins,)).astype(jnp.float32)
+    hist = histogram_u8(x)
     total = hist.sum(-1, keepdims=True)
     bins = jnp.arange(nbins, dtype=jnp.float32)
     w0 = jnp.cumsum(hist, -1)

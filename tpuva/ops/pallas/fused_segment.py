@@ -98,6 +98,7 @@ def fused_tile(H: int, W: int) -> tuple:
         "alpha", "threshold", "blur_ksize", "blur_sigma", "median_ksize",
         "open_shape", "open_ksize", "open_iters",
         "close_shape", "close_ksize", "close_iters", "tile", "padded_occ",
+        "emit",
     ),
 )
 def fused_segment(
@@ -117,8 +118,17 @@ def fused_segment(
     close_iters: int = 1,
     tile: tuple | None = None,
     padded_occ: bool = False,
+    emit: str = "mask",
 ):
     """Returns (masks (N, H, W) uint8 0/255, bg_out (H, W) float32).
+
+    emit="diff" (staged-Otsu front-end, SURVEY §2.2 threshold row):
+    instead of thresholded masks, the kernel writes the rounded |F - B|
+    as uint8 (bit-equal to the jnp path's clip(rint(|f - bg|))) and does
+    no morphology — the caller computes per-frame Otsu thresholds from a
+    histogram of this output, then thresholds + morphs. Requires
+    open_ksize == close_ksize == 0 and padded_occ=False (occupancy is
+    threshold-dependent).
 
     With padded_occ=True, returns (masks_padded, bg_out, occ128) instead:
     masks_padded is the UNCROPPED (N, Hp, Wp) grid-cover mask with
@@ -129,6 +139,13 @@ def fused_segment(
     sum > 0 <=> max > 0). The caller derives the CCL's (2x256)
     scan-key-strip occupancy by pairing adjacent 128-col flags."""
     N, H, W = frames.shape
+    if emit not in ("mask", "diff"):
+        raise ValueError(emit)
+    if emit == "diff":
+        assert not (open_ksize or close_ksize or padded_occ), (
+            "diff mode emits pre-threshold magnitudes: no morphology or "
+            "occupancy"
+        )
     rb = blur_ksize // 2
     assert median_ksize in (0, 3), "fused median supports k=3 only"
     rm = median_ksize // 2
@@ -319,6 +336,20 @@ def fused_segment(
 
             bg = (1.0 - a) * bgt[:] + a * f
             bgt[:] = bg
+            if emit == "diff":
+                d = jnp.abs(f - bg)
+                @pl.when(t >= 2)
+                def _():
+                    mask_wr(slot, t - 2).wait()
+                mbuf[slot] = jnp.where(
+                    inown,
+                    jnp.clip(
+                        jnp.rint(d[P:P + TH, P:P + TW]), 0.0, 255.0
+                    ).astype(jnp.int32),
+                    0,
+                ).astype(jnp.uint8)
+                mask_wr(slot, t).start()
+                return carry
             m = (jnp.abs(f - bg) > thr).astype(jnp.float32)
             # foreground-free tiles skip morphology: open/close of an
             # all-zero tile is zero under cv2 border semantics
