@@ -5,6 +5,7 @@ filter/segmenter composition")."""
 
 import numpy as np
 import cv2
+import jax.numpy as jnp
 import pytest
 
 from refimpl.synthetic import moving_disk_clip
@@ -267,3 +268,141 @@ def test_filter_chain_composition():
     for n, stack in chain.iter_batches(5):
         outs.append(stack[:n])
     np.testing.assert_array_equal(np.concatenate(outs), np.stack(frames))
+
+
+def test_parallel_decode_matches_sequential(tmp_path):
+    """Seek-sharded pool reassembles the exact sequential decode stream
+    (bit-equal frames in order), incl. a chunk size that misaligns with
+    both the batch size and the clip length."""
+    from tpuva.io import ParallelVideoReader
+
+    clip = gray_clip(frames=37, seed=5)
+    path = str(tmp_path / "pd.avi")
+    with VideoFileWriter(path, fps=20.0) as w:
+        for f in clip:
+            w.write_frame(f)
+    ref = VideoFile(path, gray=True).to_array()
+
+    pv = ParallelVideoReader(path, workers=3, chunk=5, gray=True)
+    assert pv.frame_count == 37 and pv.size == (64, 48)
+    got = np.stack(list(pv))
+    np.testing.assert_array_equal(got, ref)
+    pv.close()
+
+    # batch API + padded tail
+    pv2 = ParallelVideoReader(path, workers=2, chunk=8, gray=True)
+    outs = list(pv2.iter_batches(16, pad_last=True))
+    assert [n for n, _ in outs] == [16, 16, 5]
+    np.testing.assert_array_equal(
+        np.concatenate([s for _, s in outs])[:37], ref
+    )
+    pv2.close()
+
+
+def test_parallel_decode_stack_and_backward_access(tmp_path):
+    """File-parallel decode over a VideoFileStack; backward random access
+    falls back to the sequential handle and stays correct."""
+    from tpuva.io import ParallelVideoReader
+
+    clips = [gray_clip(frames=6, seed=s) for s in range(3)]
+    for i, c in enumerate(clips):
+        with VideoFileWriter(str(tmp_path / f"pp_{i:03d}.avi"), fps=10) as w:
+            for f in c:
+                w.write_frame(f)
+    pat = str(tmp_path / "pp_*.avi")
+    ref = VideoFileStack(pat, gray=True).to_array()
+
+    pv = ParallelVideoReader(pat, workers=2, chunk=6, gray=True)
+    assert pv.frame_count == 18
+    got = np.stack([pv.get_frame(i) for i in range(18)])
+    np.testing.assert_array_equal(got, ref)
+    # frontier has moved past chunk 0: backward access uses the fallback
+    np.testing.assert_array_equal(pv.get_frame(1), ref[1])
+    pv.close()
+
+
+def test_warp_affine_golden_vs_cv2():
+    """Gather-based affine sampler vs cv2.warpAffine (INTER_LINEAR):
+    float path matches tightly; uint8 within 2 LSB of cv2's 5-bit
+    fixed-point kernel; both border modes; rectangular out size."""
+    import cv2
+
+    from tpuva.ops.warp import rotation_matrix, warp_affine
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 80), np.uint8)
+    cases = [
+        (rotation_matrix((39.5, 31.5), 33.0), (80, 64), "constant"),
+        (rotation_matrix((10.0, 50.0), -122.5, scale=0.7), (60, 70),
+         "replicate"),
+        (np.array([[1.3, 0.2, -5.0], [-0.1, 0.8, 7.0]]), (96, 40),
+         "constant"),
+    ]
+    for M, (w, h), border in cases:
+        bflag = (
+            cv2.BORDER_CONSTANT if border == "constant"
+            else cv2.BORDER_REPLICATE
+        )
+        ref_f = cv2.warpAffine(
+            img.astype(np.float32), M, (w, h), flags=cv2.INTER_LINEAR,
+            borderMode=bflag,
+        )
+        got_f = np.asarray(
+            warp_affine(jnp.asarray(img.astype(np.float32)), M,
+                        out_size=(w, h), border=border)
+        )
+        np.testing.assert_allclose(got_f, ref_f, atol=1e-2, rtol=1e-5)
+        ref_u = cv2.warpAffine(
+            img, M, (w, h), flags=cv2.INTER_LINEAR, borderMode=bflag
+        )
+        got_u = np.asarray(
+            warp_affine(jnp.asarray(img), M, out_size=(w, h),
+                        border=border)
+        )
+        assert np.abs(got_u.astype(int) - ref_u.astype(int)).max() <= 2
+
+
+def test_filter_rotate_arbitrary_angle():
+    """FilterRotate(angle=...) matches cv2.warpAffine about the frame
+    center; legacy turns= path unchanged; batch axis works."""
+    import cv2
+
+    from tpuva.filters import FilterRotate
+
+    clip = gray_clip(frames=3)
+    h, w = clip.shape[1:]
+    M = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), 20.0, 1.0)
+    ref = np.stack([
+        cv2.warpAffine(f, M, (w, h), flags=cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT)
+        for f in clip
+    ])
+    r = FilterRotate(VideoMemory(clip), angle=20.0)
+    got = r.to_array()
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 2
+    with pytest.raises(ValueError):
+        FilterRotate(VideoMemory(clip))
+    with pytest.raises(ValueError):
+        FilterRotate(VideoMemory(clip), turns=1, angle=5.0)
+
+
+def test_filter_warp_affine_chain():
+    """FilterWarpAffine composes in a chain and matches cv2 on the
+    composed source."""
+    import cv2
+
+    from tpuva.filters import FilterCrop, FilterWarpAffine
+
+    clip = gray_clip(frames=2)
+    M = np.array([[0.9, 0.1, 3.0], [-0.05, 1.1, -2.0]])
+    src = FilterCrop(VideoMemory(clip), (4, 2, 48, 40))
+    f = FilterWarpAffine(src, M, out_size=(32, 24), border="replicate")
+    got = f.to_array()
+    ref = np.stack([
+        cv2.warpAffine(c[2:42, 4:52], M, (32, 24),
+                       flags=cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_REPLICATE)
+        for c in clip
+    ])
+    assert got.shape == (2, 24, 32)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 2

@@ -304,17 +304,64 @@ class FilterTimeDifference(FilterBase):
 
 
 class FilterRotate(FilterBase):
-    """Rotate by a multiple of 90 degrees counterclockwise (reference:
-    rotation filter)."""
+    """Rotation filter (reference: rotation filter).
 
-    def __init__(self, source, turns: int = 1):
-        self.turns = int(turns) % 4
+    turns: a multiple of 90 degrees counterclockwise — exact axis
+    permutation, no resampling. angle: arbitrary degrees counterclockwise
+    about the frame center (cv2.getRotationMatrix2D convention) via the
+    gather-based bilinear affine sampler (tpuva.ops.warp; SURVEY §2.2
+    warpAffine row), same output size, constant border."""
+
+    def __init__(self, source, turns: int | None = None,
+                 angle: float | None = None, border: str = "constant"):
+        if (turns is None) == (angle is None):
+            raise ValueError("give exactly one of turns= or angle=")
+        self.turns = int(turns) % 4 if turns is not None else None
+        self.angle = float(angle) if angle is not None else None
+        self.border = border
         w, h = source.size
-        size = (w, h) if self.turns % 2 == 0 else (h, w)
+        if self.turns is not None:
+            size = (w, h) if self.turns % 2 == 0 else (h, w)
+        else:
+            size = (w, h)
         super().__init__(source, size=size)
 
     def batch_transform(self, batch, carry):
-        return jnp.rot90(batch, k=self.turns, axes=(1, 2))
+        if self.turns is not None:
+            return jnp.rot90(batch, k=self.turns, axes=(1, 2))
+        from tpuva.ops.warp import rotation_matrix, warp_affine
+
+        w, h = self.source.size
+        M = rotation_matrix(((w - 1) / 2.0, (h - 1) / 2.0), self.angle)
+        return warp_affine(batch, M, border=self.border)
+
+
+class FilterWarpAffine(FilterBase):
+    """Arbitrary affine transform (reference crop/rotate path:
+    cv2.warpAffine; SURVEY §2.2). M is the forward 2x3 src→dst matrix;
+    out_size (w, h) defaults to the source size."""
+
+    def __init__(self, source, M, out_size=None, border: str = "constant",
+                 border_value: float = 0.0):
+        import numpy as _np
+
+        self.M = _np.asarray(M, _np.float64).reshape(2, 3)
+        self.border = border
+        self.border_value = float(border_value)
+        self.out_size = (
+            (int(out_size[0]), int(out_size[1]))
+            if out_size is not None
+            else source.size
+        )
+        super().__init__(source, size=self.out_size)
+
+    def batch_transform(self, batch, carry):
+        from tpuva.ops.warp import warp_affine
+
+        return warp_affine(
+            batch, self.M, out_size=self.out_size, border=self.border,
+            border_value=self.border_value,
+        )
 
 
 class FilterFlip(FilterBase):
