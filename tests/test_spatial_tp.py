@@ -98,3 +98,6 @@ def test_spatial_band_parallel_tail_adversarial():
             np.asarray(out_sp["row_sums"]), np.asarray(out_1["row_sums"])
         )
         assert int(np.asarray(out_sp["stats_overflow"]).max()) == 0
+        # band-spanning components force >1 reconciliation round; the
+        # counter surfaces it (SURVEY §5.5 observability)
+        assert int(np.asarray(out_sp["tp_recon_rounds"])) > 1

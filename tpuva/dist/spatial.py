@@ -194,7 +194,7 @@ def make_spatial_processor(
         # band is a sound fixed-point loop (monotone min algebra); the
         # while condition is pmax-reduced so every chip agrees.
         def recon_body(s):
-            l, _ = s
+            l, _, rounds = s
             top = l[:, 0]
             bot = l[:, -1]
             from_above = lax.ppermute(bot, "space", fwd)
@@ -225,10 +225,19 @@ def make_spatial_processor(
             changed = lax.pmax(
                 jnp.any(l2 != l).astype(jnp.int32), "space"
             )
-            return band_sweep(l2), changed > 0
+            return band_sweep(l2), changed > 0, rounds + 1
 
-        lab, _ = lax.while_loop(
-            lambda s: s[1], recon_body, (lab_local, jnp.bool_(True))
+        # rounds is observability (SURVEY §5.5): each round is one 2-row
+        # ppermute exchange + a band re-sweep; interior scenes take
+        # exactly 1 (the no-change confirm), band-spanning components
+        # take O(bands the component chains through) — surfaced per batch
+        # as out["tp_recon_rounds"] so pathological scenes are visible.
+        # ICI traffic bound: per round, 2 rows x W x 4 B per chip pair
+        # (the edge labels) — ~15 KB/round at 1080p, negligible vs the
+        # all_gather of the C-entry tables in the merge.
+        lab, _, recon_rounds = lax.while_loop(
+            lambda s: s[1], recon_body,
+            (lab_local, jnp.bool_(True), jnp.int32(0)),
         )
 
         # ---- per-band component-value table + exact limb sums (global
@@ -322,6 +331,7 @@ def make_spatial_processor(
             False,
         )
         out["stats_overflow"] = overflow
+        out["tp_recon_rounds"] = recon_rounds  # pmax'd cond => replicated
         new_carry = PipelineCarry(
             bg=bg_band,
             bg_valid=jnp.bool_(True),
@@ -337,7 +347,8 @@ def make_spatial_processor(
     )
     out_specs = {
         "rows": P(), "row_valid": P(), "n_det": P(), "row_sums": P(),
-        "stats_overflow": P(),
+        "stats_overflow": P(), "active_tracks": P(),
+        "tp_recon_rounds": P(),
     }
     specs = dict(
         mesh=mesh,
