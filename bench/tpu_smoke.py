@@ -85,7 +85,7 @@ def main():
             morph_close=MorphConfig(ksize=3, shape="ellipse"),
             segment=SegmentConfig(threshold=35.0, min_area=40, max_blobs=4),
             track=track_h, batch=8)),
-        ("otsu 480p (XLA path)", 480, 640, 16, PipelineConfig(
+        ("otsu 480p (staged diff-emit + MXU histogram)", 480, 640, 16, PipelineConfig(
             background=BackgroundConfig(alpha=0.05),
             blur=BlurConfig(ksize=5, sigma=0.0),
             segment=SegmentConfig(

@@ -59,7 +59,7 @@ def run_raw(mask: np.ndarray, H: int, W: int, sparse_strips: int = 256,
     return stats, bool(conv)
 
 
-def run_compact(mask: np.ndarray, tiles: int = 8, max_components: int = 64,
+def run_compact(mask: np.ndarray, slots: int = 32, max_components: int = 64,
                 compute_bbox: bool = False):
     """Gen-5 path: compact tile write-out + gather-free stats."""
     m = jnp.asarray(mask)
@@ -73,7 +73,7 @@ def run_compact(mask: np.ndarray, tiles: int = 8, max_components: int = 64,
         o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
     )
     _labraw, cbuf, conv = label_components_tiled_raw(
-        mp, so, H, W, frames_per_step=4, compact_tiles=tiles
+        mp, so, H, W, frames_per_step=4, compact_slots=slots
     )
     stats = _stats_from_compact(
         cbuf, so, H, W, max_components=max_components,
@@ -159,25 +159,26 @@ def test_compact_matches_dense_path():
     scenes.append((m3, 192, 768))  # serpentine across 9 tiles
     for mask, h, w in scenes:
         ref = run_ref(mask)
-        new, conv = run_compact(mask, tiles=32)
+        new, conv = run_compact(mask, slots=64)
         assert conv
         assert int(np.asarray(new["overflow"]).max()) == 0
         assert_stats_equal(ref, new)
 
 
-def test_compact_tile_overflow():
-    """More occupied tiles than capacity: overflow counts the occupied
-    strips inside dropped tiles; kept tiles produce exact stats for the
-    components they fully contain."""
+def test_compact_slot_overflow():
+    """More occupied slots than capacity: overflow counts the occupied
+    strips inside dropped sub-blocks; kept blocks produce exact stats
+    for the components they fully contain."""
     mask = np.zeros((1, 64, 1024), np.uint8)
-    # one blob per 256-col tile: 4 occupied tiles
+    # one blob per 256-col tile, inside the first 16-row band: 4
+    # occupied slots
     for t in range(4):
-        mask[0, 10:20, t * 256 + 5 : t * 256 + 25] = 255
-    new, conv = run_compact(mask, tiles=2)
+        mask[0, 2:12, t * 256 + 5 : t * 256 + 25] = 255
+    new, conv = run_compact(mask, slots=2)
     assert conv
     ov = int(np.asarray(new["overflow"])[0])
     assert ov > 0  # strict mode would raise on this frame
-    # the first two tiles' blobs are intact and correctly id'd
+    # the first two kept blocks hold blobs 0-1 intact and correctly id'd
     ref = run_ref(mask[:, :, :512])
     np.testing.assert_array_equal(
         np.asarray(new["area"])[0, 1:3], np.asarray(ref["area"])[0, 1:3]
@@ -219,7 +220,7 @@ def test_bbox_on_fast_paths():
         np.testing.assert_array_equal(
             np.asarray(ref["bbox"]), np.asarray(raw["bbox"])
         )
-        cmp_, conv2 = run_compact(mask, tiles=32, compute_bbox=True)
+        cmp_, conv2 = run_compact(mask, slots=64, compute_bbox=True)
         assert conv2
         np.testing.assert_array_equal(
             np.asarray(ref["bbox"]), np.asarray(cmp_["bbox"])
@@ -258,7 +259,7 @@ def test_poisoned_buffers_masked():
         assert_stats_equal(ref, new)
         # compact path under poison
         _lr, cbuf, conv2 = label_components_tiled_raw(
-            mp, so, h, w, frames_per_step=4, compact_tiles=32,
+            mp, so, h, w, frames_per_step=4, compact_slots=64,
             debug_poison=True,
         )
         assert bool(conv2)

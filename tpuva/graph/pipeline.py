@@ -277,9 +277,12 @@ def _post_mask_stage(
             o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
         )
     if compact:
-        ctiles = max(1, -(-sparse_strips // 32))
+        # 16-row slots: T slots hold T*8 strips — the same foreground
+        # budget as the sparse-strip capacity, scattered across up to T
+        # distinct 16-row bands (bench scene: <= 27 occupied bands)
+        cslots = max(1, sparse_strips // 8)
         _labraw, cbuf, ccl_converged = label_components_tiled_raw(
-            mp, strip_occ, H, W, compact_tiles=ctiles
+            mp, strip_occ, H, W, compact_slots=cslots
         )
         stats = _stats_from_compact(
             cbuf, strip_occ, H, W, max_components=max_components

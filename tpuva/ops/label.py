@@ -939,7 +939,7 @@ def _stats_from_raw(
 
 @partial(
     jax.jit,
-    static_argnames=("H", "W", "max_components", "tile", "compute_bbox"),
+    static_argnames=("H", "W", "max_components", "compute_bbox"),
 )
 def _stats_from_compact(
     compact: jnp.ndarray,
@@ -947,45 +947,46 @@ def _stats_from_compact(
     H: int,
     W: int,
     max_components: int = 64,
-    tile: tuple = (64, 256),
     compute_bbox: bool = False,
 ):
-    """Gen-5 tail: stats from the COMPACT tile buffer emitted by
-    tpuva.ops.pallas.ccl.label_components_tiled_raw(compact_tiles=T).
+    """Gen-5 tail: stats from the COMPACT slot buffer emitted by
+    tpuva.ops.pallas.ccl.label_components_tiled_raw(compact_slots=T).
 
     The raw-buffer path (_stats_from_raw) row-gathers up to
     `sparse_strips` occupied strips out of the sparse padded label buffer
     — ~17 ms of selection chains + gathers per 256-frame 1080p batch,
     the largest single cost of the staged pipeline (TPU row gathers run
     far off memory speed-of-light). Here the CCL kernel has already
-    written every occupied tile's owned block DENSELY at its per-frame
-    occupied-tile rank, so label data is read with ZERO gathers: a pure
-    reshape turns slot (TH, TW) blocks into (TH/2, 512) spatial strips
-    (identical slot layout to the gathered strips of the raw path).
+    written every occupied (slot_rows x 256) sub-block DENSELY at its
+    per-frame raster rank, so label data is read with ZERO gathers: a
+    pure reshape turns slot blocks into (slot_rows/2, 512) spatial
+    strips (identical layout to the gathered strips of the raw path).
+    The contraction cost scales with T x slot_rows/2 strips, so the
+    16-row default slot keeps it at the raw path's 256-strip budget
+    while tolerating foreground scattered across T distinct bands.
 
     Slot-major strip order is not ascending-key order (cv2's id order),
     so strips are re-ordered by a tiny per-frame sort of their base keys
-    (metadata only — (N, T*TH/2) int32) before the root-table selection;
+    (metadata only — (N, S) int32) before the root-table selection;
     the payload contraction itself is order-independent. Semantics
     (6-bit-limb MXU contraction, exact integer sums, cv2 ascending-id
     root table) are identical to _stats_from_raw — bit-equality pinned
     by tests/test_ccl_raw.py.
 
-    Capacity is tile-granular: frames occupying more than T tiles drop
-    the excess tiles; `overflow` reports the number of occupied strips
-    inside dropped tiles (0 = exact, same strictness contract as the
-    sparse-strip path).
+    Capacity is slot-granular: frames occupying more than T sub-blocks
+    drop the excess (in raster order); `overflow` reports the number of
+    occupied strips inside dropped blocks (0 = exact, same strictness
+    contract as the sparse-strip path).
 
-    8-connectivity only. compact: (Nfp, T, TH, TW) int32 (slots beyond
-    the frame's occupied-tile count are uninitialized garbage — masked
-    here by the strip_occ-derived rank, never trusted); strip_occ:
-    (N, Hp//2, Wp//256) any-mask flag per (2x256) key strip.
+    8-connectivity only. compact: (Nfp, T, slot_rows, 256) int32 (slots
+    beyond the frame's occupied-block count are uninitialized garbage —
+    masked here by the strip_occ-derived rank, never trusted);
+    strip_occ: (N, Hp//2, Wp//256) any-mask flag per (2x256) key strip.
     """
     N, Hbp, Qcp = strip_occ.shape
-    TH, TW = tile
-    assert TW == 256, "compact stats assume one 256-col chunk per tile"
-    SB = TH // 2  # strips per tile
-    Nfp, T, _TH, _TW = compact.shape
+    Nfp, T, CR, TW = compact.shape
+    assert TW == 256, "compact stats assume 256-col slots"
+    SB = CR // 2  # strips per slot
     gh, gw = Hbp // SB, Qcp
     G = gh * gw
     S = T * SB

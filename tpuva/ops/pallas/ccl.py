@@ -485,7 +485,7 @@ def label_components_tiled(
     jax.jit,
     static_argnames=(
         "H", "W", "tile", "max_rounds", "frames_per_step", "max_run",
-        "compact_tiles", "debug_poison",
+        "compact_slots", "compact_rows", "debug_poison",
     ),
 )
 def label_components_tiled_raw(
@@ -497,7 +497,8 @@ def label_components_tiled_raw(
     max_rounds: int = 64,
     frames_per_step: int = 8,
     max_run: int = 128,
-    compact_tiles: int = 0,
+    compact_slots: int = 0,
+    compact_rows: int = 16,
     debug_poison: bool = False,
 ):
     """Fourth-generation tail: CCL without ANY full-image HBM pass.
@@ -528,20 +529,26 @@ def label_components_tiled_raw(
         (2-row x 256-col) block (= one scan-key strip).
       H, W: true image size (static; defines the scan-key bijection).
 
-    compact_tiles = T > 0 additionally emits a COMPACT copy of every
-    occupied tile's converged owned block: a (Nf*F, T, TH, TW) int32
-    buffer where frame t's k-th occupied tile (raster order, k < T) holds
-    that tile's labels at slot [t, k]. Each occupied tile's final sweep
-    already has the block in VMEM, so this costs ONE extra same-sized DMA
-    per (changed, occupied) frame-tile — and stats assembly can then read
-    label data from contiguous compact memory instead of row-gathering
-    strips out of the sparse raw buffer (the dominant stats cost at
-    1080p). Slots beyond the k-th occupied tile (and tiles ranked >= T)
-    are UNINITIALIZED — consumers must mask by per-frame occupied-tile
-    count, exactly as they must for the raw buffer itself.
+    compact_slots = T > 0 additionally emits a COMPACT copy of the
+    occupied (compact_rows x TW) sub-blocks of every occupied tile: a
+    (Nf*F, T, compact_rows, TW) int32 buffer where frame t's k-th
+    occupied sub-block (raster order over (row-band, tile-col), k < T)
+    holds that band's labels at slot [t, k]. The converged tile is
+    already in VMEM when its final sweep ends, so this costs one extra
+    (compact_rows x TW) DMA per occupied sub-block of each changed tile
+    — and stats assembly can then read label data from contiguous
+    compact memory with ZERO gathers (row-gathering strips out of the
+    sparse raw buffer was the dominant stats cost at 1080p). The slot
+    height trades capacity robustness against stats-contraction cost:
+    16 rows (default) gives the same strip count per slot budget as the
+    gen-4 sparse-strip capacity while tolerating foreground scattered
+    across 4x more distinct regions than whole-tile slots. Slots beyond
+    the frame's occupied-sub-block count (and blocks ranked >= T) are
+    UNINITIALIZED — consumers must mask by the strip_occ-derived rank,
+    exactly as they must for the raw buffer itself.
 
     Returns (labraw, converged) — or (labraw, compact, converged) when
-    compact_tiles > 0:
+    compact_slots > 0:
       labraw: (Nf*F, Hp + 16, Wp + 512) int32 — image pixel (y, x) lives
         at buffer (y + 8, x + 256). Strips of 256 columns are aligned to
         the buffer minor axis, so (..., 256)-reshapes need no copy.
@@ -588,23 +595,39 @@ def label_components_tiled_raw(
     occ3 = occf3.reshape(Nf, F, gh, gw).max(axis=1)  # per GROUP tile
     occ_g = occ3.reshape(-1)
 
-    use_compact = compact_tiles > 0
-    T = compact_tiles
+    use_compact = compact_slots > 0
+    T = compact_slots
+    CR = compact_rows
     if use_compact:
-        # exclusive per-frame occupied-tile rank in raster order — the
-        # compact slot of each occupied tile, scalar-prefetched
-        occb = (occf3 != 0).astype(jnp.int32).reshape(Nfp, gh * gw)
-        rank = (jnp.cumsum(occb, axis=1) - occb).reshape(-1)
+        assert TW == 256, "compact slots assume one 256-col chunk per tile"
+        assert CR % 8 == 0 and TH % CR == 0
+        QT = TH // CR  # sub-blocks per tile
+        Hq = gh * QT  # sub-block rows in the grid
+        # ONE scalar-prefetch array: each sub-block's compact slot (its
+        # exclusive raster rank among the frame's occupied blocks), with
+        # unoccupied (or beyond-capacity) blocks clamped to T so the
+        # kernel's single `slot < T` test covers both occupancy and
+        # capacity. SMEM budget is ~1 MB per core — a separate occupancy
+        # array at this granularity would not fit at batch 256.
+        occq3 = lax.reduce_window(
+            strip_occ.astype(jnp.int32), jnp.int32(0), lax.max,
+            (1, CR // 2, 1), (1, CR // 2, 1), "VALID",
+        )  # (Nfp, Hq, gw)
+        occq = (occq3 != 0).astype(jnp.int32).reshape(Nfp, Hq * gw)
+        rank = jnp.cumsum(occq, axis=1) - occq
+        slotarr = jnp.where(
+            occq > 0, jnp.minimum(rank, T), T
+        ).reshape(-1).astype(jnp.int32)
 
     def make_pass(forward: bool, first: bool):
         def kernel(*args):
             if use_compact:
-                fr_ref, occf_ref, rank_ref = args[:3]
+                fr_ref, occf_ref, slot_ref = args[:3]
                 refs = args[3:]
             else:
                 fr_ref, occf_ref = args[:2]
                 refs = args[2:]
-            cmp_out = None
+            cmp_out = ccnt = sem_c = None
             if first:
                 if debug_poison:
                     # skip the donated poison-fill inputs (aliased to the
@@ -612,14 +635,15 @@ def label_components_tiled_raw(
                     refs = refs[:1] + refs[1 + (2 if use_compact else 1):]
                 if use_compact:
                     (msk_in, lab_out, cmp_out, flag_ref,
-                     tilebuf, mskbuf, wcnt, sem_r, sem_m, sem_w) = refs
+                     tilebuf, mskbuf, wcnt, ccnt,
+                     sem_r, sem_m, sem_w, sem_c) = refs
                 else:
                     (msk_in, lab_out, flag_ref,
                      tilebuf, mskbuf, wcnt, sem_r, sem_m, sem_w) = refs
             else:
                 if use_compact:
                     (lab_in, cmp_in, lab_out, cmp_out, flag_ref,
-                     tilebuf, wcnt, sem_r, sem_w) = refs
+                     tilebuf, wcnt, ccnt, sem_r, sem_w, sem_c) = refs
                 else:
                     (lab_in, lab_out, flag_ref,
                      tilebuf, wcnt, sem_r, sem_w) = refs
@@ -747,26 +771,41 @@ def label_components_tiled_raw(
                 wcnt[0] = wcnt[0] + 1
 
             def write_compact(f, t):
-                # second same-sized DMA of the owned block into the dense
-                # per-frame slot buffer (rides the same counting drain)
+                # extra (CR, TW) DMAs of the tile's occupied sub-blocks
+                # into their dense per-frame slots (own semaphore/count:
+                # sizes differ from the owned write-back)
                 if not use_compact:
                     return
-                slot = rank_ref[(t * gh + i) * gw + j]
+                for k in range(QT):
+                    qidx = (t * Hq + (i * QT + k)) * gw + j
+                    slot = slot_ref[qidx]
 
-                @pl.when(slot < T)
-                def _(f=f, slot=slot):
-                    pltpu.make_async_copy(
-                        tilebuf.at[f, pl.ds(PT, TH), pl.ds(PLW, TW)],
-                        cmp_out.at[nf * F + f, slot],
-                        sem_w,
-                    ).start()
-                    wcnt[0] = wcnt[0] + 1
+                    @pl.when(slot < T)
+                    def _(f=f, k=k, slot=slot):
+                        pltpu.make_async_copy(
+                            tilebuf.at[
+                                f, pl.ds(PT + k * CR, CR), pl.ds(PLW, TW)
+                            ],
+                            cmp_out.at[nf * F + f, slot],
+                            sem_c,
+                        ).start()
+                        ccnt[0] = ccnt[0] + 1
 
             def drain_writes():
-                for k in range((2 * F) if use_compact else F):
+                for k in range(F):
                     @pl.when(k < wcnt[0])
                     def _(k=k):
                         wr_copy(0).wait()
+                if use_compact:
+                    cq = pltpu.make_async_copy(
+                        tilebuf.at[0, pl.ds(PT, CR), pl.ds(PLW, TW)],
+                        cmp_out.at[0, 0],
+                        sem_c,
+                    )
+                    for k in range(F * QT):
+                        @pl.when(k < ccnt[0])
+                        def _(k=k):
+                            cq.wait()
 
             def per_frame_first():
                 for f in range(F):
@@ -839,6 +878,8 @@ def label_components_tiled_raw(
             @pl.when(occupied)
             def _():
                 wcnt[0] = 0
+                if use_compact:
+                    ccnt[0] = 0
                 for rd in rd_strips:
                     rd.start()
                 if first:
@@ -877,13 +918,15 @@ def label_components_tiled_raw(
         return flag_index
 
     lab_shape = jax.ShapeDtypeStruct((Nfp, Hbuf, Wbuf), jnp.int32)
-    cmp_shape = jax.ShapeDtypeStruct((Nfp, T, TH, TW), jnp.int32)
+    cmp_shape = jax.ShapeDtypeStruct(
+        (Nfp, T, CR, TW) if use_compact else (0,), jnp.int32
+    )
     n_prefetch = 3 if use_compact else 2
 
     def run_pass(lab, cmp, forward: bool, first: bool, fr_eff):
         inputs = [fr_eff, occf]
         if use_compact:
-            inputs.append(rank)
+            inputs.append(slotarr)
         if first:
             inputs.append(mask_padded)
             n_arr = 1
@@ -907,10 +950,14 @@ def label_components_tiled_raw(
         if first:
             scratch.append(pltpu.VMEM((F, TH, TW), jnp.uint8))
         scratch.append(pltpu.SMEM((1,), jnp.int32))  # in-flight writes
+        if use_compact:
+            scratch.append(pltpu.SMEM((1,), jnp.int32))  # compact copies
         if first:
             scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SemaphoreType.DMA(()))
         scratch.append(pltpu.SemaphoreType.DMA(()))
+        if use_compact:
+            scratch.append(pltpu.SemaphoreType.DMA(()))
         out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         out_shape = [lab_shape]
         if use_compact:
@@ -939,7 +986,7 @@ def label_components_tiled_raw(
                 if use_compact:
                     aliases[base + 1] = 1
         elif use_compact:
-            aliases = {3: 0, 4: 1}
+            aliases = {n_prefetch: 0, n_prefetch + 1: 1}
         else:
             aliases = {2: 0}
         return pl.pallas_call(
