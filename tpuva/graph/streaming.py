@@ -191,6 +191,7 @@ class StreamingPipeline:
         log: bool = False,
         use_pallas: bool = False,
         sparse_strips: int = 256,
+        compact_slots: int = 48,
         strict: bool = True,
         row_log_path: Optional[str] = None,
     ):
@@ -202,6 +203,7 @@ class StreamingPipeline:
         self.queue_depth = queue_depth
         self.use_pallas = use_pallas
         self.sparse_strips = sparse_strips
+        self.compact_slots = compact_slots
         self.strict = strict
         self.row_log_path = row_log_path
         self.overflow_frames = 0
@@ -218,6 +220,7 @@ class StreamingPipeline:
             return process_batch_staged(
                 cfg, carry, dev_batch, max_components=self.max_components,
                 sparse_strips=self.sparse_strips,
+                compact_slots=self.compact_slots,
             )
         return process_batch(
             cfg,
@@ -357,7 +360,8 @@ class StreamingPipeline:
                 msg = (
                     f"sparse-strip stats overflow on {bad} frame(s) (max "
                     f"{int(ov.max())} strips dropped): areas/centroids are "
-                    "inexact for those frames — raise sparse_strips "
+                    "inexact for those frames — raise compact_slots "
+                    f"(={self.compact_slots}) / sparse_strips "
                     f"(={self.sparse_strips}) for this workload"
                 )
                 if self.strict:
