@@ -143,16 +143,20 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
     """Device-fed streamed run with periodic append-only checkpoints
     (RowLog + O(carry) snapshots). Returns (rowlog, carry).
 
-    timings (dict) enables the stage-split instrumentation: a sync'd
-    (render, device-step) sample every 512 batches plus total host time
-    in drain/checkpoint — the split VERDICT r2 asked for."""
+    Row collection rides an AsyncRowDrainer (one packed transfer per
+    group, fetched off-thread), so the dispatch loop only ever blocks on
+    drainer backpressure and on checkpoint flushes.
+
+    timings (dict) records host time blocked in checkpoint flushes and
+    snapshot writes; the renderer/device-step split is calibrated
+    post-run (calibrate_stage_split)."""
     import jax
     import jax.numpy as jnp
 
-    from tpuva.graph.pipeline import collect_rows_array, init_carry
+    from tpuva.graph.pipeline import init_carry
     from tpuva.graph.pipeline import process_batch_staged, process_batch
-    from tpuva.graph.streaming import RowLog, load_checkpoint, \
-        save_checkpoint
+    from tpuva.graph.streaming import AsyncRowDrainer, RowLog, \
+        load_checkpoint, save_checkpoint
 
     N = cfg.batch
     render = make_render_jax(H, W, N)
@@ -168,61 +172,52 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
     staged = jax.default_backend() == "tpu"
 
     batches = (total_frames - start) // N
-    pending: list = []
-    # bound the async in-flight depth by MEMORY, not batch count: each
-    # queued batch pins its rendered (N, H, W) input plus the staged
-    # pipeline's big intermediates on device, and a deep queue sends the
-    # allocator into thrash (measured: 16 in-flight 256-frame batches
-    # dropped the streamed rate ~4x below the calibrated device cost)
-    max_pending = max(2, 1024 // N)
     tm = timings if timings is not None else {}
-    tm.setdefault("drain_s", 0.0)
+    tm.setdefault("flush_s", 0.0)
     tm.setdefault("ckpt_s", 0.0)
     tm.setdefault("active_tracks", 0)
 
-    def drain():
-        # one stacked transfer per ~16 batches: each host<->device round
-        # trip costs ~28 ms through this box's tunnel (CLAUDE.md)
-        if not pending:
-            return
-        td = time.perf_counter()
-        R = np.asarray(jnp.stack([o["rows"] for o in pending]))
-        V = np.asarray(jnp.stack([o["row_valid"] for o in pending]))
-        S = np.asarray(jnp.stack([o["row_sums"] for o in pending]))
-        if "stats_overflow" in pending[0]:
-            O = np.asarray(
-                jnp.stack([o["stats_overflow"] for o in pending])
-            )
-            assert int(O.max()) == 0, "sparse-strip overflow in soak"
-        tm["active_tracks"] = int(np.asarray(pending[-1]["active_tracks"]))
-        for i in range(R.shape[0]):
-            rlog.append(collect_rows_array(R[i], V[i], row_sums=S[i]))
-        pending.clear()
-        tm["drain_s"] += time.perf_counter() - td
+    def check(ov):
+        assert ov is None or int(ov.max()) == 0, \
+            "sparse-strip overflow in soak"
 
-    for b in range(batches):
-        t0 = start + b * N
-        frames = render(jnp.int32(t0))
-        if staged:
-            carry, out = process_batch_staged(cfg, carry, frames)
-        else:
-            carry, out = process_batch(cfg, carry, frames)
-        pending.append(out)
-        if len(pending) >= max_pending:
-            drain()
-        done = b + 1
-        if done % ckpt_every == 0:
-            drain()
-            tc = time.perf_counter()
-            jax.block_until_ready(carry.bg)
-            rlog.flush()
-            save_checkpoint(ckpt_path, carry, rlog.count(), cfg)
-            tm["ckpt_s"] += time.perf_counter() - tc
-            if rss_samples is not None:
-                rss_samples.append((t0 + N, rss_mb()))
-        if abort_at_batch is not None and done >= abort_at_batch:
-            raise Abort()
-    drain()
+    # group size + 1-in-flight bound the dispatch queue to ~3 groups of
+    # batches: each queued batch pins its rendered (N, H, W) frames on
+    # device, and a deep queue thrashes the allocator (measured: 16
+    # queued 256-frame batches ran ~4x below the calibrated device cost)
+    drainer = AsyncRowDrainer(
+        rlog.append, group=max(2, 512 // N), max_groups_in_flight=1,
+        check=check,
+    )
+    try:
+        for b in range(batches):
+            t0 = start + b * N
+            frames = render(jnp.int32(t0))
+            if staged:
+                carry, out = process_batch_staged(cfg, carry, frames)
+            else:
+                carry, out = process_batch(cfg, carry, frames)
+            drainer.submit(out)
+            done = b + 1
+            if done % ckpt_every == 0:
+                tf = time.perf_counter()
+                drainer.flush()
+                tm["flush_s"] += time.perf_counter() - tf
+                tc = time.perf_counter()
+                jax.block_until_ready(carry.bg)
+                rlog.flush()
+                save_checkpoint(ckpt_path, carry, rlog.count(), cfg)
+                tm["ckpt_s"] += time.perf_counter() - tc
+                if rss_samples is not None:
+                    rss_samples.append((t0 + N, rss_mb()))
+            if abort_at_batch is not None and done >= abort_at_batch:
+                raise Abort()
+        drainer.close()
+    except BaseException:
+        drainer.kill()  # a real kill takes the thread down with the
+        raise           # process; don't let it race the resumed run
+    finally:
+        tm["active_tracks"] = drainer.active_tracks
     return rlog, carry
 
 
@@ -358,7 +353,7 @@ def main():
     drift = float(np.abs(bg32 - bg64).max())
 
     split = calibrate_stage_split(cfg, H, W)
-    split["drain_s_total"] = round(tm.get("drain_s", 0.0), 1)
+    split["ckpt_flush_s_total"] = round(tm.get("flush_s", 0.0), 1)
     split["ckpt_s_total"] = round(tm.get("ckpt_s", 0.0), 1)
     result = {
         "metric": "config-4 soak",

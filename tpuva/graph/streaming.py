@@ -80,6 +80,176 @@ class RowLog:
         self._fh.close()
 
 
+class AsyncRowDrainer:
+    """Overlapped device-output collection: pack each batch's trajectory
+    outputs into ONE flat f32 device buffer, fetch groups of them on a
+    consumer thread, and append the decoded rows to a sink in order.
+
+    Why: a naive drain fetches rows / row_valid / row_sums /
+    stats_overflow / active_tracks as separate transfers and blocks the
+    dispatch loop while doing it. Each host<->device round trip costs
+    ~28 ms through this box's tunnel (CLAUDE.md) and the block stalls
+    dispatch, so at 100k-frame scale the drain dominated streamed wall
+    time (41.7 s of 65 s, SOAK_100K r3 pre-async). Packing makes a group
+    one transfer; the thread makes it overlap device compute entirely.
+
+    Layout per batch (columns of the packed (M,) f32 vector):
+      [N*K*5 rows f32] [N*K row_valid 0/1] [N*K*2 row_sums bitcast
+      int32->f32] [N stats_overflow] [1 active_tracks]
+    row_sums travel as raw bit patterns (device->host transfers are
+    bitwise), so the exact-integer-centroid contract (collect_rows_array,
+    byte-identical exports) is preserved.
+
+    The bounded group queue doubles as dispatch-depth backpressure:
+    submit() blocks while `maxsize` groups are already in flight, so the
+    producer can run at most (maxsize+1) groups of batches ahead of
+    device execution (a deep dispatch queue pins every queued batch's
+    input frames on device and thrashes the allocator).
+
+    Consumer-thread exceptions (e.g. an overflow assert in the sink) are
+    re-raised at the next submit()/flush()/close().
+    """
+
+    def __init__(self, sink, group: int = 4, max_groups_in_flight: int = 1,
+                 check=None):
+        import queue as _queue
+        import threading
+
+        self._sink = sink
+        self._check = check
+        self._group = max(1, int(group))
+        self._q: "_queue.Queue" = _queue.Queue(
+            maxsize=max(1, int(max_groups_in_flight))
+        )
+        self._cur: list = []
+        self._dead = False
+        self._exc: Optional[BaseException] = None
+        self._pack = None
+        self._meta = None  # (N, K, has_overflow)
+        self.active_tracks = 0
+        self._thread = threading.Thread(
+            target=self._run, name="tpuva-row-drainer", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------ producer
+    def submit(self, out: dict) -> None:
+        """Queue one batch's output dict (device arrays; only the small
+        trajectory fields are touched — masks etc. are ignored)."""
+        self._raise_pending()
+        if self._pack is None:
+            N, K = out["rows"].shape[0], out["rows"].shape[1]
+            self._meta = (N, K, "stats_overflow" in out)
+            self._pack = self._make_pack(N, K, self._meta[2])
+        self._cur.append(self._pack(out))
+        if len(self._cur) >= self._group:
+            self._q.put(self._cur)
+            self._cur = []
+
+    def flush(self) -> None:
+        """Block until every submitted batch has been decoded and written
+        to the sink (call before checkpointing on the sink's state)."""
+        if self._cur:
+            self._q.put(self._cur)
+            self._cur = []
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self.flush()
+        self._q.put(None)
+        self._thread.join()
+        self._raise_pending()
+
+    def kill(self) -> None:
+        """Abandon all queued work WITHOUT writing it to the sink and stop
+        the thread — for simulated-crash paths that reopen the same sink
+        (a real kill takes the thread down with the process; an in-process
+        abort must not leave it racing the resumed run's log writes)."""
+        self._dead = True
+        self._cur = []
+        self._q.put(None)  # consumer drops groups when dead, unblocks fast
+        self._thread.join()
+
+    # ------------------------------------------------------------ consumer
+    def _run(self) -> None:
+        while True:
+            grp = self._q.get()
+            if grp is None:
+                self._q.task_done()
+                return
+            try:
+                if self._exc is None and not self._dead:
+                    self._decode(grp)
+            except BaseException as e:  # surfaced at next producer call
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def _decode(self, grp: list) -> None:
+        N, K, has_ov = self._meta
+        buf = np.asarray(jnp.stack(grp))  # ONE device round trip
+        P = buf.shape[0]
+        c0 = N * K * 5
+        c1 = c0 + N * K
+        c2 = c1 + N * K * 2
+        rows = buf[:, :c0].reshape(P, N, K, 5)
+        valid = buf[:, c0:c1].reshape(P, N, K) != 0.0
+        sums = np.ascontiguousarray(buf[:, c1:c2]).view(np.int32)
+        sums = sums.reshape(P, N, K, 2)
+        overflow = buf[:, c2:c2 + N].astype(np.int32) if has_ov else None
+        self.active_tracks = int(buf[-1, -1])
+        for i in range(P):
+            if self._check is not None:
+                self._check(None if overflow is None else overflow[i])
+            self._sink(
+                collect_rows_array(rows[i], valid[i], row_sums=sums[i])
+            )
+
+    def _raise_pending(self) -> None:
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    @staticmethod
+    def _make_pack(N: int, K: int, has_overflow: bool):
+        from jax import lax
+
+        @jax.jit
+        def pack(out):
+            r = out["rows"].astype(jnp.float32).reshape(-1)
+            v = out["row_valid"].reshape(-1).astype(jnp.float32)
+            s = lax.bitcast_convert_type(
+                out["row_sums"].astype(jnp.int32), jnp.float32
+            ).reshape(-1)
+            parts = [r, v, s]
+            if has_overflow:
+                parts.append(
+                    out["stats_overflow"].astype(jnp.float32).reshape(-1)
+                )
+            else:
+                parts.append(jnp.zeros((N,), jnp.float32))
+            parts.append(
+                out.get(
+                    "active_tracks", jnp.int32(0)
+                ).astype(jnp.float32).reshape(1)
+            )
+            return jnp.concatenate(parts)
+
+        def run(out):
+            small = {
+                k: out[k]
+                for k in (
+                    "rows", "row_valid", "row_sums", "stats_overflow",
+                    "active_tracks",
+                )
+                if k in out
+            }
+            return pack(small)
+
+        return run
+
+
 def save_checkpoint(path: str, carry: PipelineCarry, rows,
                     cfg: PipelineConfig) -> None:
     """Atomic snapshot of the scan carry + rows so far (npz).
