@@ -153,7 +153,7 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
     import jax
     import jax.numpy as jnp
 
-    from tpuva.graph.pipeline import init_carry
+    from tpuva.graph.pipeline import collect_rows_array, init_carry
     from tpuva.graph.pipeline import process_batch_staged, process_batch
     from tpuva.graph.streaming import AsyncRowDrainer, RowLog, \
         load_checkpoint, save_checkpoint
@@ -177,26 +177,36 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
     tm.setdefault("ckpt_s", 0.0)
     tm.setdefault("active_tracks", 0)
 
-    def check(ov):
+    def consume(rec, n):
+        ov = rec.get("stats_overflow")
         assert ov is None or int(ov.max()) == 0, \
             "sparse-strip overflow in soak"
+        rlog.append(collect_rows_array(
+            rec["rows"], rec["row_valid"], row_sums=rec["row_sums"],
+        ))
 
-    # group size + 1-in-flight bound the dispatch queue to ~3 groups of
-    # batches: each queued batch pins its rendered (N, H, W) frames on
-    # device, and a deep queue thrashes the allocator (measured: 16
-    # queued 256-frame batches ran ~4x below the calibrated device cost)
+    # group 16 @ batch 128 measured fastest on this box (bench/
+    # stream_probe.py: async16 3656 fps vs async4 2750 vs no-drain 4080):
+    # fewer fetch round trips, and the 1-group-in-flight bound still caps
+    # the dispatch queue before the allocator thrashes (16 queued
+    # 256-frame batches measured ~4x below the calibrated device cost)
     drainer = AsyncRowDrainer(
-        rlog.append, group=max(2, 512 // N), max_groups_in_flight=1,
-        check=check,
+        consume, group=max(2, 2048 // N), max_groups_in_flight=1,
     )
+    tm.setdefault("dispatch_s", 0.0)
     try:
         for b in range(batches):
+            td = time.perf_counter()
             t0 = start + b * N
             frames = render(jnp.int32(t0))
             if staged:
                 carry, out = process_batch_staged(cfg, carry, frames)
             else:
                 carry, out = process_batch(cfg, carry, frames)
+            dd = time.perf_counter() - td
+            tm["dispatch_s"] += dd
+            if b == 0:
+                tm["first_batch_dispatch_s"] = round(dd, 2)
             drainer.submit(out)
             done = b + 1
             if done % ckpt_every == 0:
@@ -218,7 +228,64 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
         raise           # process; don't let it race the resumed run
     finally:
         tm["active_tracks"] = drainer.active_tracks
+        tm["drainer"] = {k: round(v, 2) if isinstance(v, float) else v
+                         for k, v in drainer.stats.items()}
     return rlog, carry
+
+
+def warmup(cfg, H, W):
+    """Compile/load every device program used by the soak loop and sync.
+
+    Program trace + compile-cache load through this box's tunnel costs
+    20-80 s (measured: first_batch_dispatch_s 44 s of a 61 s 20k run) and
+    varies run-to-run — it is one-time cost, not streaming throughput, so
+    the timed region must start warm. Uses a throwaway carry; the real
+    run's numerics are untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuva.graph.pipeline import init_carry, process_batch_staged, \
+        process_batch
+
+    N = cfg.batch
+    render = make_render_jax(H, W, N)
+    carry = init_carry(cfg, H, W)
+    f = render(jnp.int32(0))
+    if jax.default_backend() == "tpu":
+        carry, out = process_batch_staged(cfg, carry, f)
+    else:
+        carry, out = process_batch(cfg, carry, f)
+    np.asarray(out["rows"].ravel()[:1])
+
+
+def centroid_oracle_err(flat_rows, H, W, sample=4096, seed=0):
+    """Median distance from sampled trajectory rows to the NEAREST
+    analytic blob center at that frame. The renderer's centers are exact
+    integer math, and a rasterized disk's centroid sits within ~0.5 px of
+    its center, so a healthy run medians well under 1 px. Guards the whole
+    row path end-to-end (stats sums -> packed drain -> RowLog -> HDF5):
+    a transport bug that zeroes or misaligns centroids (e.g. the TPU
+    denormal-flush of bitcast int32 sums caught 2026-08-17) blows this up
+    to O(image size). Median, not max: transient blob overlaps merge
+    components whose joint centroid is legitimately far from either
+    center."""
+    flat = np.asarray(flat_rows, np.float64).reshape(-1, 5)
+    if not len(flat):
+        return float("nan")
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(flat), size=min(sample, len(flat)), replace=False)
+    t = flat[pick, 1].astype(np.int64)[:, None]  # frame
+    xy = flat[pick, 2:4]
+    Mx, My = W - 2 * RADIUS, H - 2 * RADIUS
+    cx = np.empty((len(pick), N_BLOBS)); cy = np.empty_like(cx)
+    for i in range(N_BLOBS):
+        x0, y0, vx, vy = _blob_params(H, W, i)
+        mx = (x0 + vx * t[:, 0]) % (2 * Mx)
+        cx[:, i] = np.minimum(mx, 2 * Mx - mx) + RADIUS
+        my = (y0 + vy * t[:, 0]) % (2 * My)
+        cy[:, i] = np.minimum(my, 2 * My - my) + RADIUS
+    d = np.sqrt((xy[:, 0:1] - cx) ** 2 + (xy[:, 1:2] - cy) ** 2).min(axis=1)
+    return float(np.median(d))
 
 
 def calibrate_stage_split(cfg, H, W, iters=8):
@@ -294,6 +361,9 @@ def main():
             os.unlink(p)
     rss = []
     tm: dict = {}
+    tw = time.perf_counter()
+    warmup(cfg, H, W)
+    warm_s = time.perf_counter() - tw
     t0 = time.perf_counter()
     log_a, carry_a = run_soak(cfg, H, W, T, ckpt_a, rlog_a,
                               rss_samples=rss, timings=tm)
@@ -352,9 +422,15 @@ def main():
     bg32 = np.asarray(carry_a.bg)[y0:y0 + CS, x0:x0 + CS].astype(np.float64)
     drift = float(np.abs(bg32 - bg64).max())
 
+    cent_err = centroid_oracle_err(flat_a, H, W)
+    assert cent_err < 1.0, f"centroid oracle median {cent_err} px"
+
     split = calibrate_stage_split(cfg, H, W)
     split["ckpt_flush_s_total"] = round(tm.get("flush_s", 0.0), 1)
     split["ckpt_s_total"] = round(tm.get("ckpt_s", 0.0), 1)
+    split["dispatch_s_total"] = round(tm.get("dispatch_s", 0.0), 1)
+    split["compile_warm_s"] = round(warm_s, 1)
+    split["drainer"] = tm.get("drainer", {})
     result = {
         "metric": "config-4 soak",
         "frames": T,
@@ -365,6 +441,7 @@ def main():
         "rss_mb_final": round(rss[-1][1], 1) if rss else None,
         "rss_growth_2nd_half_mb": round(rss_growth, 1),
         "resume_hdf5_byte_identical": bool(identical),
+        "centroid_oracle_median_err_px": round(cent_err, 4),
         "bg_drift_f32_vs_f64_max_abs": drift,
         "active_tracks_final": int(tm.get("active_tracks", 0)),
         "stage_split": split,

@@ -174,16 +174,16 @@ def test_multistream_pipeline_resume(tmp_path):
     class Abort(Exception):
         pass
 
-    orig = MultiStreamPipeline._drain
+    orig = MultiStreamPipeline._save_checkpoint
     calls = {"n": 0}
 
-    def bomb(pending, rows_by_stream, upto=None):
+    def bomb(self, carry, rows_by_stream, cfg):
         calls["n"] += 1
-        if calls["n"] > 3:
+        if calls["n"] > 2:
             raise Abort()
-        return orig(pending, rows_by_stream, upto)
+        return orig(self, carry, rows_by_stream, cfg)
 
-    msp._drain = bomb
+    msp._save_checkpoint = bomb.__get__(msp)
     try:
         msp.run(videos(), background0=plates)
     except Abort:

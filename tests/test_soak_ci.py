@@ -64,6 +64,15 @@ def test_soak_kill_resume_byte_identical(soak, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(carry_a.bg), np.asarray(carry_b.bg)
     )
+    # centroid oracle: rows carry real positions end-to-end (guards the
+    # packed async drain against transport bugs that zero/misalign sums,
+    # which push the median to O(image size) — zeroed sums measure ~50 px
+    # here). The bound is loose at this toy scale: 6 radius-16 blobs in
+    # 96x160 revisit pixels so often that the rolling background absorbs
+    # them and detections are crescents ~12 px off center; the tight
+    # < 1 px assertion runs at real scale in bench/soak_100k.py main().
+    err = soak.centroid_oracle_err(flat_a, H, W)
+    assert 0 <= err < 20.0, err
 
 
 def test_soak_drift_oracle_small(soak):

@@ -207,3 +207,55 @@ def test_padded_tail_checkpoint_skipped(tmp_path):
     # checkpoint frame_idx must be the last FULL-batch boundary (40), not
     # the padded 48
     assert int(carry.frame_idx) == 40
+
+
+def test_async_drainer_exact_sums_and_tpu_safe_packing():
+    """AsyncRowDrainer must round-trip int32 row_sums EXACTLY and its
+    packed f32 buffer must never encode them as raw bit patterns: the TPU
+    flushes denormal f32 to zero and canonicalizes NaN patterns inside
+    any op that touches them (measured on v5e: bitcast 73000 -> 0,
+    -5 -> 0x7FC00000), which silently zeroed every centroid in the 100k
+    soak. The packed representation must therefore contain only safe f32
+    values (finite, zero-or-normal) for adversarial sums."""
+    import jax.numpy as jnp
+
+    from tpuva.graph.streaming import AsyncRowDrainer
+
+    N, K = 3, 4
+    rng = np.random.default_rng(7)
+    rows = rng.normal(size=(N, K, 5)).astype(np.float32)
+    valid = rng.random((N, K)) < 0.7
+    # sums whose int32 bit patterns are f32 denormals / NaNs / infs
+    sums = np.array(
+        [1, 73000, -5, -1, 2**31 - 1, -(2**31), 0x7F800001 - 2**32,
+         0x00400000] * 3,
+    ).astype(np.int64).astype(np.int32).reshape(N, K, 2)
+    out = {
+        "rows": jnp.asarray(rows),
+        "row_valid": jnp.asarray(valid),
+        "row_sums": jnp.asarray(sums),
+        "stats_overflow": jnp.zeros((N,), jnp.int32),
+        "ccl_converged": jnp.asarray(True),
+        "active_tracks": jnp.int32(5),
+    }
+    got = []
+    dr = AsyncRowDrainer(lambda rec, n: got.append((rec, n)), group=1)
+    try:
+        dr.submit(out, n=2)
+        dr.flush()
+    finally:
+        dr.close()
+    (rec, n), = got
+    assert n == 2
+    assert np.array_equal(rec["row_sums"], sums)
+    assert np.array_equal(rec["row_valid"], valid)
+    assert np.array_equal(rec["rows"], rows)
+    assert rec["active_tracks"] == 5 and rec["ccl_converged"] is True
+    assert np.array_equal(rec["stats_overflow"], np.zeros(N, np.int32))
+
+    # the packed buffer itself must be TPU-transport-safe
+    packed = np.asarray(dr._pack(out))
+    assert np.isfinite(packed).all()
+    tiny = np.finfo(np.float32).tiny
+    assert ((packed == 0) | (np.abs(packed) >= tiny)).all(), \
+        "packed buffer contains denormal f32 (unsafe through TPU ops)"

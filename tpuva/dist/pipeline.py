@@ -37,6 +37,7 @@ from tpuva.dist.multistream import (
 )
 from tpuva.graph.config import PipelineConfig
 from tpuva.graph.pipeline import PipelineCarry, collect_rows
+from tpuva.graph.streaming import AsyncRowDrainer
 from tpuva.io.base import VideoBase
 from tpuva.io.staging import BatchStager
 from tpuva.track.table import TrackState
@@ -223,7 +224,23 @@ class MultiStreamPipeline:
         ]
         stagers = self._stagers(sources)
         iters = [iter(st) for st in stagers]
-        pending: list = []
+
+        def consume(rec, n):
+            # drainer thread: per-stream row collection in step order
+            rows, valid = rec["rows"], rec["row_valid"]
+            sums = rec["row_sums"]
+            for s in range(rows.shape[0]):
+                rows_by_stream[s].extend(
+                    collect_rows(
+                        rows[s, :n], valid[s, :n], row_sums=sums[s, :n],
+                    )
+                )
+
+        # grouped async collection off-thread (AsyncRowDrainer): ~1 device
+        # round trip per group of steps, overlapped with mesh dispatch
+        drainer = AsyncRowDrainer(
+            consume, group=max(1, 512 // cfg.batch), max_groups_in_flight=1
+        )
         steps = 0
         last_n = cfg.batch
         try:
@@ -243,29 +260,26 @@ class MultiStreamPipeline:
                 n = ns.pop()
                 frames = self._assemble([b for _, b in items])
                 carry, out = self._fn(carry, frames)
-                pending.append((n, out))
+                drainer.submit(out, n)
                 last_n = n
-                if len(pending) >= 2:
-                    self._drain(pending, rows_by_stream, upto=1)
                 steps += 1
                 self.logger.log(n * S, queue=max(st.depth for st in stagers))
                 if (
                     self.checkpoint_path
                     and steps % self.checkpoint_every == 0
                 ):
-                    self._drain(pending, rows_by_stream)
+                    drainer.flush()
                     jax.block_until_ready(carry.bg)
-                    save_multistream_checkpoint(
-                        self.checkpoint_path, carry, rows_by_stream, cfg
-                    )
-            self._drain(pending, rows_by_stream)
+                    self._save_checkpoint(carry, rows_by_stream, cfg)
+            drainer.close()
             # same padded-tail rule as StreamingPipeline: never persist a
             # carry perturbed by pad frames
             if self.checkpoint_path and last_n == cfg.batch:
                 jax.block_until_ready(carry.bg)
-                save_multistream_checkpoint(
-                    self.checkpoint_path, carry, rows_by_stream, cfg
-                )
+                self._save_checkpoint(carry, rows_by_stream, cfg)
+        except BaseException:
+            drainer.kill()  # see StreamingPipeline.run: never leave the
+            raise           # thread racing a resumed run's row state
         finally:
             for st in stagers:
                 st.close()
@@ -287,17 +301,9 @@ class MultiStreamPipeline:
             )
         return rows_by_stream, merged
 
-    @staticmethod
-    def _drain(pending, rows_by_stream, upto: Optional[int] = None):
-        while pending if upto is None else len(pending) > upto:
-            n, out = pending.pop(0)
-            rows = np.asarray(out["rows"])
-            row_valid = np.asarray(out["row_valid"])
-            row_sums = np.asarray(out["row_sums"])
-            for s in range(rows.shape[0]):
-                rows_by_stream[s].extend(
-                    collect_rows(
-                        rows[s, :n], row_valid[s, :n],
-                        row_sums=row_sums[s, :n],
-                    )
-                )
+    def _save_checkpoint(self, carry, rows_by_stream, cfg):
+        """Seam for fault-injection tests; checkpoints the stacked carry
+        plus all rows drained so far."""
+        save_multistream_checkpoint(
+            self.checkpoint_path, carry, rows_by_stream, cfg
+        )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from typing import Optional
 
 import numpy as np
@@ -83,7 +84,8 @@ class RowLog:
 class AsyncRowDrainer:
     """Overlapped device-output collection: pack each batch's trajectory
     outputs into ONE flat f32 device buffer, fetch groups of them on a
-    consumer thread, and append the decoded rows to a sink in order.
+    consumer thread, and hand the decoded per-batch records to a
+    `consume` callback in submission order.
 
     Why: a naive drain fetches rows / row_valid / row_sums /
     stats_overflow / active_tracks as separate transfers and blocks the
@@ -93,12 +95,31 @@ class AsyncRowDrainer:
     time (41.7 s of 65 s, SOAK_100K r3 pre-async). Packing makes a group
     one transfer; the thread makes it overlap device compute entirely.
 
-    Layout per batch (columns of the packed (M,) f32 vector):
-      [N*K*5 rows f32] [N*K row_valid 0/1] [N*K*2 row_sums bitcast
-      int32->f32] [N stats_overflow] [1 active_tracks]
-    row_sums travel as raw bit patterns (device->host transfers are
-    bitwise), so the exact-integer-centroid contract (collect_rows_array,
-    byte-identical exports) is preserved.
+    Works for any leading batch shape: single-stream outputs are
+    (N, K, ...) and multi-stream outputs are (S, N, K, ...); the shape is
+    taken from the first submit and records are decoded back to it.
+
+    Layout per batch, with B = prod(batch_shape) (batch_shape =
+    rows.shape[:-1]) and F = prod(batch_shape[:-1]) frames:
+      [B*5 rows f32] [B row_valid 0/1] [B*2 row_sums hi16]
+      [B*2 row_sums lo16] [F stats_overflow] [1 ccl_converged]
+      [1 active_tracks]
+    row_sums are int32 split into two 16-bit halves, each carried as an
+    exact small-integer f32 VALUE (0..65535 < 2^24). Do NOT bitcast raw
+    int32 bit patterns into f32 here: the TPU flushes denormal f32 to
+    zero and canonicalizes NaN patterns in any op that touches them
+    (measured on this chip — 73000 -> 0, -5 -> 0x7FC00000), which
+    silently zeroed centroid sums. The halves round-trip exactly, so the
+    exact-integer-centroid contract (collect_rows_array, byte-identical
+    exports) is preserved.
+
+    `consume(rec, n)` receives a dict of decoded NUMPY arrays — "rows"
+    (*batch_shape, 5) f32, "row_valid" batch_shape bool, "row_sums"
+    (*batch_shape, 2) int32, plus "stats_overflow" batch_shape[:-1]
+    int32 / "ccl_converged" bool / "active_tracks" int when the producer
+    emitted them — and the batch's valid frame count n along the frame
+    axis (a padded tail batch has n < N; the consumer slices). It runs
+    on the drainer thread.
 
     The bounded group queue doubles as dispatch-depth backpressure:
     submit() blocks while `maxsize` groups are already in flight, so the
@@ -106,53 +127,67 @@ class AsyncRowDrainer:
     device execution (a deep dispatch queue pins every queued batch's
     input frames on device and thrashes the allocator).
 
-    Consumer-thread exceptions (e.g. an overflow assert in the sink) are
-    re-raised at the next submit()/flush()/close().
+    Consumer-thread exceptions (e.g. a strict-mode overflow error raised
+    by `consume`) are re-raised at the next submit()/flush()/close() —
+    i.e. a strict error surfaces within about one group of batches of
+    the offending frame.
     """
 
-    def __init__(self, sink, group: int = 4, max_groups_in_flight: int = 1,
-                 check=None):
+    def __init__(self, consume, group: int = 4,
+                 max_groups_in_flight: int = 1):
         import queue as _queue
         import threading
 
-        self._sink = sink
-        self._check = check
+        self._consume = consume
         self._group = max(1, int(group))
         self._q: "_queue.Queue" = _queue.Queue(
             maxsize=max(1, int(max_groups_in_flight))
         )
-        self._cur: list = []
+        self._cur: list = []  # list of (n, packed device vec)
         self._dead = False
         self._exc: Optional[BaseException] = None
         self._pack = None
-        self._meta = None  # (N, K, has_overflow)
+        self._meta = None  # (bshape, has_overflow, has_converged)
         self.active_tracks = 0
+        # blocking/latency telemetry (seconds; producer-side block in
+        # submit/flush, consumer-side device fetch and host decode)
+        self.stats = {"submit_block_s": 0.0, "flush_block_s": 0.0,
+                      "fetch_s": 0.0, "decode_s": 0.0, "groups": 0}
         self._thread = threading.Thread(
             target=self._run, name="tpuva-row-drainer", daemon=True
         )
         self._thread.start()
 
     # ------------------------------------------------------------ producer
-    def submit(self, out: dict) -> None:
+    def submit(self, out: dict, n: Optional[int] = None) -> None:
         """Queue one batch's output dict (device arrays; only the small
-        trajectory fields are touched — masks etc. are ignored)."""
+        trajectory fields are touched — masks etc. are ignored). n is the
+        batch's valid frame count (None = all)."""
         self._raise_pending()
         if self._pack is None:
-            N, K = out["rows"].shape[0], out["rows"].shape[1]
-            self._meta = (N, K, "stats_overflow" in out)
-            self._pack = self._make_pack(N, K, self._meta[2])
-        self._cur.append(self._pack(out))
+            bshape = tuple(out["rows"].shape[:-1])
+            self._meta = (
+                bshape, "stats_overflow" in out, "ccl_converged" in out,
+            )
+            self._pack = self._make_pack(bshape, *self._meta[1:])
+        if n is None:
+            n = self._meta[0][-2]  # frame axis extent
+        self._cur.append((int(n), self._pack(out)))
         if len(self._cur) >= self._group:
+            t0 = time.perf_counter()
             self._q.put(self._cur)
+            self.stats["submit_block_s"] += time.perf_counter() - t0
             self._cur = []
 
     def flush(self) -> None:
         """Block until every submitted batch has been decoded and written
         to the sink (call before checkpointing on the sink's state)."""
+        t0 = time.perf_counter()
         if self._cur:
             self._q.put(self._cur)
             self._cur = []
         self._q.join()
+        self.stats["flush_block_s"] += time.perf_counter() - t0
         self._raise_pending()
 
     def close(self) -> None:
@@ -187,24 +222,45 @@ class AsyncRowDrainer:
                 self._q.task_done()
 
     def _decode(self, grp: list) -> None:
-        N, K, has_ov = self._meta
-        buf = np.asarray(jnp.stack(grp))  # ONE device round trip
+        bshape, has_ov, has_conv = self._meta
+        B = int(np.prod(bshape))
+        F = int(np.prod(bshape[:-1]))
+        ns = [n for n, _ in grp]
+        t0 = time.perf_counter()
+        buf = np.asarray(jnp.stack([p for _, p in grp]))  # ONE round trip
+        t1 = time.perf_counter()
+        self.stats["fetch_s"] += t1 - t0
+        self.stats["groups"] += 1
         P = buf.shape[0]
-        c0 = N * K * 5
-        c1 = c0 + N * K
-        c2 = c1 + N * K * 2
-        rows = buf[:, :c0].reshape(P, N, K, 5)
-        valid = buf[:, c0:c1].reshape(P, N, K) != 0.0
-        sums = np.ascontiguousarray(buf[:, c1:c2]).view(np.int32)
-        sums = sums.reshape(P, N, K, 2)
-        overflow = buf[:, c2:c2 + N].astype(np.int32) if has_ov else None
-        self.active_tracks = int(buf[-1, -1])
+        c0 = B * 5
+        c1 = c0 + B
+        ch = c1 + B * 2
+        c2 = ch + B * 2
+        rows = buf[:, :c0].reshape((P,) + bshape + (5,))
+        valid = buf[:, c0:c1].reshape((P,) + bshape) != 0.0
+        hi = buf[:, c1:ch].astype(np.uint32)
+        lo = buf[:, ch:c2].astype(np.uint32)
+        sums = ((hi << 16) | lo).astype(np.uint32).view(np.int32)
+        sums = sums.reshape((P,) + bshape + (2,))
+        if has_ov:
+            overflow = buf[:, c2:c2 + F].astype(np.int32)
+            overflow = overflow.reshape((P,) + bshape[:-1])
+        else:
+            overflow = None
         for i in range(P):
-            if self._check is not None:
-                self._check(None if overflow is None else overflow[i])
-            self._sink(
-                collect_rows_array(rows[i], valid[i], row_sums=sums[i])
-            )
+            rec = {
+                "rows": rows[i],
+                "row_valid": valid[i],
+                "row_sums": sums[i],
+                "active_tracks": int(buf[i, -1]),
+            }
+            if has_ov:
+                rec["stats_overflow"] = overflow[i]
+            if has_conv:
+                rec["ccl_converged"] = bool(buf[i, c2 + F] != 0.0)
+            self.active_tracks = rec["active_tracks"]
+            self._consume(rec, ns[i])
+        self.stats["decode_s"] += time.perf_counter() - t1
 
     def _raise_pending(self) -> None:
         if self._exc is not None:
@@ -212,26 +268,36 @@ class AsyncRowDrainer:
             raise exc
 
     @staticmethod
-    def _make_pack(N: int, K: int, has_overflow: bool):
-        from jax import lax
+    def _make_pack(bshape: tuple, has_overflow: bool, has_converged: bool):
+        F = int(np.prod(bshape[:-1]))
 
         @jax.jit
         def pack(out):
             r = out["rows"].astype(jnp.float32).reshape(-1)
             v = out["row_valid"].reshape(-1).astype(jnp.float32)
-            s = lax.bitcast_convert_type(
-                out["row_sums"].astype(jnp.int32), jnp.float32
-            ).reshape(-1)
-            parts = [r, v, s]
+            # int32 -> (hi16, lo16) exact f32 values; see class docstring
+            # for why a raw bitcast is unsafe on TPU
+            u = out["row_sums"].astype(jnp.int32).astype(jnp.uint32)
+            hi = (u >> 16).astype(jnp.float32).reshape(-1)
+            lo = (u & jnp.uint32(0xFFFF)).astype(jnp.float32).reshape(-1)
+            parts = [r, v, hi, lo]
             if has_overflow:
                 parts.append(
                     out["stats_overflow"].astype(jnp.float32).reshape(-1)
                 )
             else:
-                parts.append(jnp.zeros((N,), jnp.float32))
+                parts.append(jnp.zeros((F,), jnp.float32))
+            if has_converged:
+                parts.append(
+                    out["ccl_converged"].astype(jnp.float32).reshape(1)
+                )
+            else:
+                parts.append(jnp.zeros((1,), jnp.float32))
+            # per-stream counts sum to one scalar (multistream emits
+            # shape-(S,) active_tracks; single-stream a scalar)
             parts.append(
-                out.get(
-                    "active_tracks", jnp.int32(0)
+                jnp.sum(
+                    out.get("active_tracks", jnp.int32(0))
                 ).astype(jnp.float32).reshape(1)
             )
             return jnp.concatenate(parts)
@@ -241,7 +307,7 @@ class AsyncRowDrainer:
                 k: out[k]
                 for k in (
                     "rows", "row_valid", "row_sums", "stats_overflow",
-                    "active_tracks",
+                    "ccl_converged", "active_tracks",
                 )
                 if k in out
             }
@@ -452,18 +518,32 @@ class StreamingPipeline:
             return _as_tuples(chunks)
         source = video[start_frame:] if start_frame else video
         stager = BatchStager(source, cfg.batch, queue_depth=self.queue_depth)
-        # keep at most 2 batches of un-collected device output in flight so
-        # host collection overlaps device compute without unbounded growth
-        pending: list = []
+
+        def consume(rec, n):
+            # runs on the drainer thread, in submission order
+            self._check_capacity(rec, n)
+            self.active_tracks = int(rec["active_tracks"])
+            arr = collect_rows_array(
+                rec["rows"][:n], rec["row_valid"][:n],
+                row_sums=rec["row_sums"][:n],
+            )
+            if rlog is not None:
+                rlog.append(arr)
+            else:
+                chunks.append(arr)
+
+        # grouped async collection off-thread: ~1 device round trip per
+        # `group` batches, fully overlapped with dispatch (AsyncRowDrainer)
+        drainer = AsyncRowDrainer(
+            consume, group=max(1, 512 // cfg.batch), max_groups_in_flight=1
+        )
         batches_done = 0
         last_n = cfg.batch
         try:
             for n, dev_batch in stager:
                 carry, out = self._step(cfg, carry, dev_batch)
-                pending.append((n, out))
+                drainer.submit(out, n)
                 last_n = n
-                if len(pending) >= 2:
-                    self._drain(pending, chunks, rlog, upto=1)
                 batches_done += 1
                 self.logger.log(
                     n, queue=stager.depth,
@@ -473,14 +553,14 @@ class StreamingPipeline:
                     self.checkpoint_path
                     and batches_done % self.checkpoint_every == 0
                 ):
-                    self._drain(pending, chunks, rlog)
+                    drainer.flush()
                     jax.block_until_ready(carry.bg)
                     if rlog is not None:
                         rlog.flush()
                     save_checkpoint(
                         self.checkpoint_path, carry, rows_state(), cfg
                     )
-            self._drain(pending, chunks, rlog)
+            drainer.close()
             # a padded tail batch perturbs the carry past the stream end
             # (repeated pad frames enter the background model / tracker):
             # persisting it would poison a resume against a later-appended
@@ -493,6 +573,9 @@ class StreamingPipeline:
                 save_checkpoint(
                     self.checkpoint_path, carry, rows_state(), cfg
                 )
+        except BaseException:
+            drainer.kill()  # don't leave the thread racing the sink (a
+            raise           # resumed run may reopen the same RowLog)
         finally:
             stager.close()
         if rlog is not None:
@@ -500,22 +583,6 @@ class StreamingPipeline:
             rlog.close()
             return out
         return _as_tuples(chunks)
-
-    def _drain(self, pending: list, chunks: list, rlog,
-               upto: Optional[int] = None):
-        while pending if upto is None else len(pending) > upto:
-            n, out = pending.pop(0)
-            self._check_capacity(out, n)
-            if "active_tracks" in out:
-                self.active_tracks = int(np.asarray(out["active_tracks"]))
-            arr = collect_rows_array(
-                out["rows"][:n], out["row_valid"][:n],
-                row_sums=out["row_sums"][:n],
-            )
-            if rlog is not None:
-                rlog.append(arr)
-            else:
-                chunks.append(arr)
 
     def _check_capacity(self, out: dict, n: int) -> None:
         """Surface silent-accuracy-loss conditions from the staged path
