@@ -447,8 +447,9 @@ def main():
         "stage_split": split,
     }
     print(json.dumps(result))
-    with open("SOAK_100K.json", "w") as fh:
-        json.dump(result, fh, indent=2)
+    if T >= 100_000:  # only full-scale runs update the committed artifact
+        with open("SOAK_100K.json", "w") as fh:
+            json.dump(result, fh, indent=2)
     return 0
 
 
