@@ -198,3 +198,77 @@ def test_multistream_pipeline_resume(tmp_path):
     for s in range(S):
         assert sorted(rows2[s]) == sorted(full_rows[s]), f"stream {s}"
     assert sorted(merged2) == sorted(full_merged)
+
+
+def test_multistream_row_log_mode_and_resume(tmp_path):
+    """row_log_dir mode: rows stream to per-stream RowLogs, checkpoints
+    store only durable counts, and a mid-run kill + resume reproduces the
+    in-RAM mode's rows exactly."""
+    from tpuva.dist import MultiStreamPipeline
+    from tpuva.io.memory import VideoMemory
+
+    S, T = 4, 32
+    clips, plates = make_streams(S=S, T=T)
+    videos = lambda: [VideoMemory(clips[s]) for s in range(S)]
+    full_rows, full_merged = MultiStreamPipeline(CFG, S).run(
+        videos(), background0=plates
+    )
+
+    # uninterrupted log-mode run matches the in-RAM mode numerically
+    logdir = str(tmp_path / "logs_a")
+    rows_a, merged_a = MultiStreamPipeline(
+        CFG, S, row_log_dir=logdir
+    ).run(videos(), background0=plates)
+    for s in range(S):
+        np.testing.assert_array_equal(
+            np.asarray(sorted(rows_a[s]), np.float64),
+            np.asarray(sorted(full_rows[s]), np.float64),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(sorted(merged_a), np.float64),
+        np.asarray(sorted(full_merged), np.float64),
+    )
+
+    # kill after 2 checkpoints, resume from durable counts
+    ckpt = str(tmp_path / "ms.npz")
+    logdir_b = str(tmp_path / "logs_b")
+    msp = MultiStreamPipeline(
+        CFG, S, checkpoint_path=ckpt, checkpoint_every=1,
+        row_log_dir=logdir_b,
+    )
+
+    class Abort(Exception):
+        pass
+
+    orig = MultiStreamPipeline._save_checkpoint
+    calls = {"n": 0}
+
+    def bomb(self, carry, rows_state, cfg):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise Abort()
+        return orig(self, carry, rows_state, cfg)
+
+    msp._save_checkpoint = bomb.__get__(msp)
+    try:
+        msp.run(videos(), background0=plates)
+    except Abort:
+        pass
+    z = np.load(ckpt)
+    assert "row_counts" in z and z["frame_idx"].max() > 0
+
+    rows_b, merged_b = MultiStreamPipeline(
+        CFG, S, checkpoint_path=ckpt, checkpoint_every=10**9,
+        row_log_dir=logdir_b,
+    ).run(videos(), background0=plates)
+    np.testing.assert_array_equal(
+        np.asarray(sorted(merged_b), np.float64),
+        np.asarray(sorted(full_merged), np.float64),
+    )
+
+    # mode mismatch surfaces instead of silently mixing row stores
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="row_log_dir"):
+        MultiStreamPipeline(
+            CFG, S, checkpoint_path=ckpt, checkpoint_every=10**9
+        ).run(videos(), background0=plates)

@@ -259,3 +259,19 @@ def test_async_drainer_exact_sums_and_tpu_safe_packing():
     tiny = np.finfo(np.float32).tiny
     assert ((packed == 0) | (np.abs(packed) >= tiny)).all(), \
         "packed buffer contains denormal f32 (unsafe through TPU ops)"
+
+
+def test_streaming_warmup_compiles_without_state(tmp_path):
+    """warmup() compiles the step for (H, W) without touching checkpoint
+    or row state; a subsequent run() produces the same rows as an
+    un-warmed pipeline."""
+    clip, _truth, plate = moving_disk_clip(
+        h=48, w=64, frames=32, radius=6, noise_sigma=2.0
+    )
+    sp_cold = StreamingPipeline(CFG)
+    rows_cold = sp_cold.run(VideoMemory(clip), background0=plate)
+
+    sp_warm = StreamingPipeline(CFG)
+    sp_warm.warmup(48, 64)
+    rows_warm = sp_warm.run(VideoMemory(clip), background0=plate)
+    assert [tuple(r) for r in rows_warm] == [tuple(r) for r in rows_cold]

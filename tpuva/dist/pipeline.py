@@ -36,8 +36,9 @@ from tpuva.dist.multistream import (
     merge_stream_rows,
 )
 from tpuva.graph.config import PipelineConfig
-from tpuva.graph.pipeline import PipelineCarry, collect_rows
-from tpuva.graph.streaming import AsyncRowDrainer
+from tpuva.graph.pipeline import PipelineCarry, collect_rows, \
+    collect_rows_array
+from tpuva.graph.streaming import AsyncRowDrainer, RowLog
 from tpuva.io.base import VideoBase
 from tpuva.io.staging import BatchStager
 from tpuva.track.table import TrackState
@@ -45,12 +46,22 @@ from tpuva.utils import BatchLogger
 
 
 def save_multistream_checkpoint(path: str, carry: PipelineCarry,
-                                rows_by_stream, cfg: PipelineConfig) -> None:
-    """Atomic snapshot of the stacked per-stream carry + rows (npz)."""
-    flat = []
-    for s, rows in enumerate(rows_by_stream):
-        for r in rows:
-            flat.append((s,) + tuple(r))
+                                rows_state, cfg: PipelineConfig) -> None:
+    """Atomic snapshot of the stacked per-stream carry + rows (npz).
+
+    rows_state is either rows_by_stream (list of per-stream row lists,
+    embedded in the snapshot) or a 1-D int array of per-stream durable
+    RowLog counts (row-log mode: O(carry) snapshots, rows live in the
+    append-only logs)."""
+    if isinstance(rows_state, np.ndarray) and rows_state.ndim == 1:
+        flat = None
+        counts = rows_state.astype(np.int64)
+    else:
+        counts = None
+        flat = []
+        for s, rows in enumerate(rows_state):
+            for r in rows:
+                flat.append((s,) + tuple(r))
     payload = {
         "bg": np.asarray(carry.bg),
         "bg_valid": np.asarray(carry.bg_valid),
@@ -60,9 +71,12 @@ def save_multistream_checkpoint(path: str, carry: PipelineCarry,
         "track_missed": np.asarray(carry.track.missed),
         "track_active": np.asarray(carry.track.active),
         "track_next_id": np.asarray(carry.track.next_id),
-        "rows": np.asarray(flat, np.float64).reshape(-1, 6),
         "config_json": np.frombuffer(cfg.to_json().encode(), dtype=np.uint8),
     }
+    if flat is not None:
+        payload["rows"] = np.asarray(flat, np.float64).reshape(-1, 6)
+    else:
+        payload["row_counts"] = counts
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     try:
@@ -77,7 +91,9 @@ def save_multistream_checkpoint(path: str, carry: PipelineCarry,
 
 def load_multistream_checkpoint(path: str, cfg: PipelineConfig,
                                 n_streams: int):
-    """Returns (carry, rows_by_stream) or raises (config must match)."""
+    """Returns (carry, rows_by_stream) — or (carry, per-stream RowLog
+    counts) for row-log-mode checkpoints — or raises (config must
+    match)."""
     z = np.load(path)
     saved_cfg = bytes(z["config_json"]).decode()
     if PipelineConfig.from_json(saved_cfg) != cfg:
@@ -98,6 +114,8 @@ def load_multistream_checkpoint(path: str, cfg: PipelineConfig,
         ),
         frame_idx=jnp.asarray(z["frame_idx"]),
     )
+    if "row_counts" in z:
+        return carry, z["row_counts"].astype(np.int64)
     rows_by_stream = [[] for _ in range(n_streams)]
     for r in z["rows"]:
         rows_by_stream[int(r[0])].append(tuple(r[1:]))
@@ -112,6 +130,12 @@ class MultiStreamPipeline:
     math, tested equivalent). Each stream's batches are decoded by its own
     thread and staged directly onto its chip; the global (S, N, H, W)
     batch is assembled from the per-chip shards with zero host copies.
+
+    row_log_dir enables the unbounded-stream mode (the multi-stream
+    analog of StreamingPipeline's row_log_path): drained rows stream to
+    one append-only RowLog per stream instead of host RAM, and
+    checkpoints store only the per-stream durable row counts (O(carry)
+    snapshots instead of re-embedding the full row history).
     """
 
     def __init__(
@@ -126,9 +150,11 @@ class MultiStreamPipeline:
         queue_depth: int = 3,
         log: bool = False,
         use_pallas: Optional[bool] = None,
+        row_log_dir: Optional[str] = None,
     ):
         self.cfg = cfg
         self.n_streams = n_streams
+        self.row_log_dir = row_log_dir
         if mesh == "auto":
             mesh = (
                 make_stream_mesh(n_streams)
@@ -200,7 +226,33 @@ class MultiStreamPipeline:
         total = counts.pop()
         W, H = videos[0].size
 
+        use_log = self.row_log_dir is not None
+        if use_log:
+            os.makedirs(self.row_log_dir, exist_ok=True)
+            rlogs = [
+                RowLog(os.path.join(self.row_log_dir, f"stream_{s}.rows"))
+                for s in range(S)
+            ]
+        else:
+            rlogs = None
         rows_by_stream = [[] for _ in range(S)]
+
+        def finish():
+            # read logs back into the common list-of-tuples shape so both
+            # modes return (and merge/export) identically
+            if use_log:
+                out = []
+                for rl in rlogs:
+                    out.append([tuple(r) for r in rl.read()])
+                    rl.close()
+                return out
+            return rows_by_stream
+
+        def rows_state():
+            if use_log:
+                return np.asarray([rl.count() for rl in rlogs], np.int64)
+            return rows_by_stream
+
         carry = init_multistream_carry(cfg, H, W, S, background0=background0)
         start_frame = 0
         if (
@@ -208,14 +260,29 @@ class MultiStreamPipeline:
             and self.checkpoint_path
             and os.path.exists(self.checkpoint_path)
         ):
-            carry, rows_by_stream = load_multistream_checkpoint(
+            carry, saved = load_multistream_checkpoint(
                 self.checkpoint_path, cfg, S
             )
+            if isinstance(saved, np.ndarray) and saved.ndim == 1:
+                if not use_log:
+                    raise ValueError(
+                        "checkpoint stores RowLog counts but no "
+                        "row_log_dir was given"
+                    )
+                for rl, cnt in zip(rlogs, saved):
+                    rl.truncate(int(cnt))
+            else:
+                if use_log:
+                    raise ValueError(
+                        "checkpoint embeds rows but row_log_dir is set"
+                    )
+                rows_by_stream = saved
             fidx = np.asarray(carry.frame_idx)
             assert (fidx == fidx[0]).all(), "streams out of lock-step"
             start_frame = int(fidx[0])
 
         if start_frame >= total:
+            rows_by_stream = finish()
             return rows_by_stream, merge_stream_rows(
                 rows_by_stream, with_stream=True
             )
@@ -230,11 +297,16 @@ class MultiStreamPipeline:
             rows, valid = rec["rows"], rec["row_valid"]
             sums = rec["row_sums"]
             for s in range(rows.shape[0]):
-                rows_by_stream[s].extend(
-                    collect_rows(
+                if use_log:
+                    rlogs[s].append(collect_rows_array(
                         rows[s, :n], valid[s, :n], row_sums=sums[s, :n],
+                    ))
+                else:
+                    rows_by_stream[s].extend(
+                        collect_rows(
+                            rows[s, :n], valid[s, :n], row_sums=sums[s, :n],
+                        )
                     )
-                )
 
         # grouped async collection off-thread (AsyncRowDrainer): ~1 device
         # round trip per group of steps, overlapped with mesh dispatch
@@ -270,13 +342,19 @@ class MultiStreamPipeline:
                 ):
                     drainer.flush()
                     jax.block_until_ready(carry.bg)
-                    self._save_checkpoint(carry, rows_by_stream, cfg)
+                    if use_log:
+                        for rl in rlogs:
+                            rl.flush()
+                    self._save_checkpoint(carry, rows_state(), cfg)
             drainer.close()
             # same padded-tail rule as StreamingPipeline: never persist a
             # carry perturbed by pad frames
             if self.checkpoint_path and last_n == cfg.batch:
                 jax.block_until_ready(carry.bg)
-                self._save_checkpoint(carry, rows_by_stream, cfg)
+                if use_log:
+                    for rl in rlogs:
+                        rl.flush()
+                self._save_checkpoint(carry, rows_state(), cfg)
         except BaseException:
             drainer.kill()  # see StreamingPipeline.run: never leave the
             raise           # thread racing a resumed run's row state
@@ -284,6 +362,7 @@ class MultiStreamPipeline:
             for st in stagers:
                 st.close()
 
+        rows_by_stream = finish()
         merged = merge_stream_rows(rows_by_stream, with_stream=True)
         if export_dir:
             from tpuva.export.hdf5io import (
@@ -301,9 +380,10 @@ class MultiStreamPipeline:
             )
         return rows_by_stream, merged
 
-    def _save_checkpoint(self, carry, rows_by_stream, cfg):
+    def _save_checkpoint(self, carry, rows_state, cfg):
         """Seam for fault-injection tests; checkpoints the stacked carry
-        plus all rows drained so far."""
+        plus the rows drained so far (embedded lists, or per-stream
+        durable RowLog counts in row-log mode)."""
         save_multistream_checkpoint(
-            self.checkpoint_path, carry, rows_by_stream, cfg
+            self.checkpoint_path, carry, rows_state, cfg
         )

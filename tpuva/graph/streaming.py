@@ -467,6 +467,20 @@ class StreamingPipeline:
             use_pallas=self.use_pallas,
         )
 
+    def warmup(self, H: int, W: int) -> None:
+        """Compile (or load from the persistent cache) every device
+        program run() will dispatch for (H, W) frames, and block until
+        ready. Uses a throwaway carry and zero frames — no pipeline state
+        is touched. Call before latency-sensitive streaming: program
+        trace + compile-cache load can cost tens of seconds (hundreds
+        through a remote-tunnel device) and would otherwise stall the
+        first batch mid-stream."""
+        cfg = self.cfg
+        carry = init_carry(cfg, H, W)
+        frames = jnp.zeros((cfg.batch, H, W), jnp.uint8)
+        _carry, out = self._step(cfg, carry, frames)
+        np.asarray(out["rows"].ravel()[:1])  # sync (tunnel-safe)
+
     def run(
         self,
         video: VideoBase,
