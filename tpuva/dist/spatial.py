@@ -168,7 +168,7 @@ def make_spatial_processor(
         m = mask_band > 0
         lab0 = jnp.where(m, kv[None], jnp.int32(sent))
 
-        def band_sweep(l):
+        def band_sweep(l, precheck=False):
             def sweep(label):
                 label = jnp.where(
                     m, jnp.minimum(label, _neighbor_min_8(label, sent)), sent
@@ -184,7 +184,20 @@ def make_spatial_processor(
                 new = sweep(cur)
                 return new, jnp.any(new != cur)
 
-            l, _ = lax.while_loop(lambda s: s[1], body, (l, jnp.bool_(True)))
+            # precheck: a fixed point of the 8-neighbor min is a fixed
+            # point of the directional run scans too (each scan is an
+            # iterated neighbor-min along one axis), so one cheap
+            # neighbor-min compare can skip the full sweep chain — this
+            # makes reconciliation confirm rounds (edge exchange changed
+            # nothing) cost one compare instead of a band sweep.
+            if precheck:
+                nb = jnp.where(
+                    m, jnp.minimum(l, _neighbor_min_8(l, sent)), sent
+                )
+                ch0 = jnp.any(nb != l)
+            else:
+                ch0 = jnp.bool_(True)
+            l, _ = lax.while_loop(lambda s: s[1], body, (l, ch0))
             return l
 
         lab_local = band_sweep(lab0)
@@ -225,7 +238,7 @@ def make_spatial_processor(
             changed = lax.pmax(
                 jnp.any(l2 != l).astype(jnp.int32), "space"
             )
-            return band_sweep(l2), changed > 0, rounds + 1
+            return band_sweep(l2, precheck=True), changed > 0, rounds + 1
 
         # rounds is observability (SURVEY §5.5): each round is one 2-row
         # ppermute exchange + a band re-sweep; interior scenes take
@@ -277,7 +290,13 @@ def make_spatial_processor(
         )  # (N, C, 7)
 
         # ---- tiny replicated merge: gather C-entry tables, aggregate
-        # split components by key, rank ascending (= cv2 id order)
+        # split components by key, rank ascending (= cv2 id order).
+        # The (SC)^2 equality matrix is deliberate, not an oversight:
+        # SC = n_chips * max_components (512 at 8 x 64), so eqm + the agg
+        # einsum are ~N*SC*SC*7 flops (<0.5 GFLOP at batch 128) of
+        # MXU-friendly work, far below one band sweep — a sort-based
+        # merge would save nothing and reintroduce the minor-axis-sort
+        # pitfall (CLAUDE.md).
         tabs = lax.all_gather(table, "space", axis=0)  # (S, N, C)
         sms = lax.all_gather(sums, "space", axis=0)  # (S, N, C, 7)
         S = n_chips
