@@ -304,3 +304,20 @@ def test_cross_tile_component_propagation():
     assert conv
     assert_stats_equal(ref, new)
     assert int(np.asarray(new["count"])[0]) == 1
+
+
+def test_compact_slot_smem_budget_guard():
+    """Compact-slot prefetch arrays past the ~1 MB SMEM budget must fail
+    at trace time with an actionable error, not an opaque Mosaic
+    compile error (measured on v5e: batch 512 @1080p -> 1.13 MB operand
+    -> 'Allocation would exceed memory (space=smem)')."""
+    import pytest
+
+    N, H, W = 512, 1080, 1920
+    Hp, Wp = 1088, 2048  # 512*68*8*4 B = 1.11 MB slot array
+    mp = jnp.zeros((N, Hp, Wp), jnp.uint8)
+    so = jnp.zeros((N, Hp // 2, Wp // 256), jnp.uint8)
+    with pytest.raises(ValueError, match="SMEM"):
+        label_components_tiled_raw(
+            mp, so, H, W, frames_per_step=4, compact_slots=32
+        )

@@ -618,6 +618,20 @@ def label_components_tiled_raw(
         slotarr = jnp.where(
             occq > 0, jnp.minimum(rank, T), T
         ).reshape(-1).astype(jnp.int32)
+        # The slot array is scalar-prefetched into SMEM (~1 MB/core on
+        # v5e). Past the budget Mosaic fails with an opaque
+        # "Allocation would exceed memory (space=smem)" at compile time
+        # (measured: batch 512 @1080p -> 1.13 MB operand); fail here
+        # with an actionable message instead.
+        slot_bytes = slotarr.size * 4
+        if slot_bytes > 1_000_000:
+            raise ValueError(
+                f"compact-slot prefetch array is {slot_bytes} bytes for "
+                f"batch {Nfp} at {H}x{W} — exceeds the ~1 MB SMEM "
+                "budget. Use batch <= 256 at 1080p (split larger "
+                "batches into multiple dispatches) or disable compact "
+                "slots (compact_slots=0) for this shape."
+            )
 
     def make_pass(forward: bool, first: bool):
         def kernel(*args):
