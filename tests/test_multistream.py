@@ -272,3 +272,26 @@ def test_multistream_row_log_mode_and_resume(tmp_path):
         MultiStreamPipeline(
             CFG, S, checkpoint_path=ckpt, checkpoint_every=10**9
         ).run(videos(), background0=plates)
+
+
+def test_multistream_otsu_matches_single_stream():
+    """The staged Otsu route under the multi-stream processor: each
+    stream's rows must equal the single-stream process_clip result with
+    the identical Otsu config (per-frame data-dependent thresholds must
+    not leak across streams)."""
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.02),
+        segment=SegmentConfig(threshold="otsu", min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    clips, plates = make_streams(S=3, T=16)
+    fn = make_multistream_processor(cfg, 3)
+    rows_by_stream = run_multistream(fn, cfg, clips, plates)
+    for s in range(3):
+        ref_rows, _, _ = process_clip(clips[s], cfg, background0=plates[s])
+        got = [(int(r[0]), int(r[1]), round(r[2], 3), round(r[3], 3), int(r[4]))
+               for r in rows_by_stream[s]]
+        ref = [(int(r[0]), int(r[1]), round(r[2], 3), round(r[3], 3), int(r[4]))
+               for r in ref_rows]
+        assert sorted(got) == sorted(ref), f"stream {s} diverged"

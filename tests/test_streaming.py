@@ -275,3 +275,35 @@ def test_streaming_warmup_compiles_without_state(tmp_path):
     sp_warm.warmup(48, 64)
     rows_warm = sp_warm.run(VideoMemory(clip), background0=plate)
     assert [tuple(r) for r in rows_warm] == [tuple(r) for r in rows_cold]
+
+
+def test_streaming_otsu_resume_equivalence(tmp_path):
+    """The staged Otsu route (fused |F-B| emit -> per-frame histogram
+    threshold -> morphology) under StreamingPipeline: streamed rows match
+    process_clip, and an interrupted+resumed run is identical — the
+    per-frame Otsu threshold is recomputed from data, so it must survive
+    a checkpoint boundary without drift."""
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.03),
+        segment=SegmentConfig(threshold="otsu", min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    clip, plate = clip_and_plate(frames=48)
+    ref_rows, _, _ = process_clip(clip, cfg, background0=plate)
+
+    full = StreamingPipeline(cfg, parallel_bg=False).run(
+        VideoMemory(clip), background0=plate
+    )
+    assert rows_equal(full, ref_rows)
+
+    ckpt = str(tmp_path / "otsu_state.npz")
+    sp1 = StreamingPipeline(
+        cfg, checkpoint_path=ckpt, checkpoint_every=10**9, parallel_bg=False
+    )
+    sp1.run(VideoMemory(clip[:24]), background0=plate)
+    sp2 = StreamingPipeline(
+        cfg, checkpoint_path=ckpt, checkpoint_every=10**9, parallel_bg=False
+    )
+    rows = sp2.run(VideoMemory(clip), background0=plate, resume=True)
+    assert rows_equal(rows, full)
