@@ -101,3 +101,45 @@ def test_spatial_band_parallel_tail_adversarial():
         # band-spanning components force >1 reconciliation round; the
         # counter surfaces it (SURVEY §5.5 observability)
         assert int(np.asarray(out_sp["tp_recon_rounds"])) > 1
+
+
+def test_spatial_otsu_matches_single_chip():
+    """Otsu in spatial-TP mode: each band histograms its interior rows
+    and a psum over ('space',) assembles the exact global per-frame
+    histogram — the resulting mask, rows, and carried background must be
+    bit-identical to the single-chip jnp Otsu path."""
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.05),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        segment=SegmentConfig(threshold="otsu", min_area=20, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    H, W, T = 128, 160, 16
+    clip, _, plate = moving_disk_clip(
+        h=H, w=W, frames=T, radius=9, noise_sigma=3.0, seed=13
+    )
+    n_chips = 4
+    fn = make_spatial_processor(cfg, H, W, n_chips,
+                                mesh=make_space_mesh(n_chips))
+    carry_sp = init_carry(cfg, H, W, plate)
+    carry_1 = init_carry(cfg, H, W, plate)
+    rows_sp, rows_1 = [], []
+    for s in range(0, T, cfg.batch):
+        chunk = jnp.asarray(clip[s : s + cfg.batch])
+        carry_sp, out_sp = fn(carry_sp, chunk)
+        carry_1, out_1 = process_batch(cfg, carry_1, chunk)
+        rows_sp.extend(
+            collect_rows(out_sp["rows"], out_sp["row_valid"],
+                         row_sums=out_sp["row_sums"])
+        )
+        rows_1.extend(
+            collect_rows(out_1["rows"], out_1["row_valid"],
+                         row_sums=out_1["row_sums"])
+        )
+    assert rows_sp == rows_1
+    assert rows_sp, "otsu scene produced no detections — test is vacuous"
+    np.testing.assert_array_equal(
+        np.asarray(carry_sp.bg), np.asarray(carry_1.bg)
+    )

@@ -145,7 +145,27 @@ def make_spatial_processor(
         bg_prev = exchange(carry.bg[None], halo)[0]
         bg0 = jnp.where(carry.bg_valid, bg_prev, f[0])
         bgs = background_trajectory(bg0, f, cfg.background.alpha, False)
-        mask = threshold(jnp.abs(f - bgs), cfg.segment.threshold)
+        diff = jnp.abs(f - bgs)
+        if cfg.segment.threshold == "otsu":
+            # Per-frame Otsu needs the GLOBAL 256-bin histogram. Each band
+            # histograms its interior rows only (halos duplicate neighbor
+            # interiors / reflect rows and would double-count) and a psum
+            # over ('space',) assembles the exact global counts — f32
+            # integer counts stay exact under the collective. Same rint
+            # quantize + strict int compare as process_batch's jnp path,
+            # so bands agree bit-identically with the single-chip mask.
+            from tpuva.ops.filters import histogram_u8, otsu_from_histogram
+
+            du8 = jnp.clip(jnp.rint(diff), 0, 255).astype(jnp.uint8)
+            hist = lax.psum(histogram_u8(du8[:, halo : halo + Hb]), "space")
+            thr = otsu_from_histogram(hist)
+            mask = jnp.where(
+                du8.astype(jnp.int32) > thr.astype(jnp.int32)[:, None, None],
+                jnp.uint8(255),
+                jnp.uint8(0),
+            )
+        else:
+            mask = threshold(diff, cfg.segment.threshold)
         # morphology with cv2 constant-border semantics at TRUE borders
         rows = jnp.arange(-halo, Hb + halo)[None, :, None]
         gr = rows + idx * Hb

@@ -172,16 +172,16 @@ def histogram_u8(x: jnp.ndarray) -> jnp.ndarray:
     return h2.reshape(x.shape[:-2] + (256,))
 
 
-def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
-    """Otsu threshold of a uint8 image (cv2.THRESH_OTSU semantics):
-    256-bin histogram, maximize inter-class variance; on ties cv2 takes the
-    lowest threshold. Returns the scalar threshold (float32).
+def otsu_from_histogram(hist: jnp.ndarray) -> jnp.ndarray:
+    """Otsu threshold from a 256-bin histogram (cv2.THRESH_OTSU
+    semantics: maximize inter-class variance; ties take the lowest
+    threshold). hist: (..., 256) float32 counts → (...) float32 threshold.
 
-    x: (..., H, W) uint8; leading dims are reduced per-image via vmap by the
-    caller if desired — this function reduces over the trailing two dims.
-    """
+    Split out from otsu_threshold so distributed callers can psum
+    per-shard histograms (exact f32-integer counts) into the global one
+    before the argmax — e.g. the spatial-TP front-end's per-band
+    histograms over the ('space',) mesh."""
     nbins = 256
-    hist = histogram_u8(x)
     total = hist.sum(-1, keepdims=True)
     bins = jnp.arange(nbins, dtype=jnp.float32)
     w0 = jnp.cumsum(hist, -1)
@@ -194,6 +194,16 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     valid = (w0 > 0) & (w1 > 0)
     var_between = jnp.where(valid, var_between, -1.0)
     return jnp.argmax(var_between, axis=-1).astype(jnp.float32)
+
+
+def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
+    """Otsu threshold of a uint8 image (cv2.THRESH_OTSU semantics).
+    Returns the scalar threshold (float32).
+
+    x: (..., H, W) uint8; leading dims are reduced per-image via vmap by the
+    caller if desired — this function reduces over the trailing two dims.
+    """
+    return otsu_from_histogram(histogram_u8(x))
 
 
 # ----------------------------------------------------------------- morphology
