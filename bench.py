@@ -160,6 +160,41 @@ def accuracy_vs_reference(clip, plate, cfg, frames=48):
     return max_err, match
 
 
+def tpu_preflight(timeout_s: float = 300.0, _probe=None) -> bool:
+    """Bounded backend-init probe. The axon tunnel can wedge so hard that
+    even jax.devices() blocks forever (observed 2026-08-17: >30 min hang
+    on a trivial device enumeration). Probing in a daemon thread turns a
+    dead tunnel into a clean nonzero exit in bounded time instead of
+    hanging the driver's end-of-round run. Device enumeration normally
+    completes in seconds even through the tunnel; 300 s is generous
+    (compile/LOAD cost comes later and is unaffected)."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = [str(d) for d in jax.devices()]
+
+    th = threading.Thread(target=_probe or probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        print(
+            f"[bench] FATAL: jax backend init did not finish in "
+            f"{timeout_s:.0f}s — TPU tunnel unresponsive; aborting "
+            "instead of hanging (re-run when the tunnel recovers)",
+            file=sys.stderr,
+            flush=True,
+        )
+        return False
+    if out:
+        print(f"[bench] devices: {out['devices']}", file=sys.stderr,
+              flush=True)
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="short run")
@@ -175,6 +210,13 @@ def main():
              "(SURVEY.md §5.1)",
     )
     args = ap.parse_args()
+
+    import os
+
+    if not tpu_preflight(
+        float(os.environ.get("TPUVA_BENCH_PREFLIGHT_S", "300"))
+    ):
+        return 2
 
     cpu_frames = args.cpu_frames or (8 if args.quick else 24)
 

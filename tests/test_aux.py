@@ -108,3 +108,18 @@ def test_batch_logger_and_progress():
     out = list(display_progress(range(5), out=buf2, every=0.0))
     assert out == list(range(5))
     assert "5/5" in buf2.getvalue()
+
+
+def test_bench_preflight_bounded():
+    """bench.py's tunnel preflight: succeeds promptly on a live backend,
+    and a wedged backend-init (observed: jax.devices() hanging forever on
+    a dead axon tunnel) returns False within the bound instead of
+    hanging the driver's end-of-round run."""
+    import sys, time
+    sys.path.insert(0, ".")
+    import bench
+
+    t0 = time.perf_counter()
+    assert bench.tpu_preflight(60.0) is True  # CPU backend, instant
+    assert bench.tpu_preflight(0.3, _probe=lambda: time.sleep(30)) is False
+    assert time.perf_counter() - t0 < 30.0
