@@ -185,11 +185,12 @@ def run_soak(cfg, H, W, total_frames, ckpt_path, rowlog_path,
             rec["rows"], rec["row_valid"], row_sums=rec["row_sums"],
         ))
 
-    # group 16 @ batch 128 measured fastest on this box (bench/
-    # stream_probe.py: async16 3656 fps vs async4 2750 vs no-drain 4080):
-    # fewer fetch round trips, and the 1-group-in-flight bound still caps
-    # the dispatch queue before the allocator thrashes (16 queued
-    # 256-frame batches measured ~4x below the calibrated device cost)
+    # keep ~2048 frames (not batches) per drain group: group 16 @ batch
+    # 128 measured fastest on this box (bench/stream_probe.py: async16
+    # 3656 fps vs async4 2750 vs no-drain 4080) — fewer fetch round
+    # trips, and the 1-group-in-flight bound still caps the dispatch
+    # queue before the allocator thrashes. The formula preserves that
+    # frame count across batch sizes (group 8 at the default batch 256).
     drainer = AsyncRowDrainer(
         consume, group=max(2, 2048 // N), max_groups_in_flight=1,
     )

@@ -56,7 +56,9 @@ def main() -> int:
     from tpuva.io import VideoMemory, load_any_video
 
     if args.videos:
-        videos = [load_any_video(v) for v in args.videos]
+        # gray=True: the pipeline consumes (N, H, W); color files read
+        # back as (N, H, W, 3) and would fail the (S, N, H, W) assembly
+        videos = [load_any_video(v, gray=True) for v in args.videos]
     else:
         from refimpl.synthetic import multi_blob_clip
 

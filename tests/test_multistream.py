@@ -295,3 +295,39 @@ def test_multistream_otsu_matches_single_stream():
         ref = [(int(r[0]), int(r[1]), round(r[2], 3), round(r[3], 3), int(r[4]))
                for r in ref_rows]
         assert sorted(got) == sorted(ref), f"stream {s} diverged"
+
+
+def test_multistream_row_log_fresh_run_discards_stale_rows(tmp_path):
+    """Re-running MultiStreamPipeline fresh against an existing
+    row_log_dir must truncate every stream's log (stale rows from a
+    prior run would duplicate into the merged export), and log-mode rows
+    must carry the same (int, int, float, float, float) types as the
+    in-RAM mode."""
+    from tpuva.dist import MultiStreamPipeline
+    from tpuva.io.memory import VideoMemory
+
+    S, T = 3, 16
+    clips, plates = make_streams(S=S, T=T)
+    videos = lambda: [VideoMemory(clips[s]) for s in range(S)]
+    logdir = str(tmp_path / "logs")
+
+    rows1, merged1 = MultiStreamPipeline(CFG, S, row_log_dir=logdir).run(
+        videos(), background0=plates
+    )
+    rows2, merged2 = MultiStreamPipeline(CFG, S, row_log_dir=logdir).run(
+        videos(), background0=plates
+    )
+    assert [len(r) for r in rows2] == [len(r) for r in rows1], (
+        "stale rows leaked into a fresh run"
+    )
+    assert sorted(merged2) == sorted(merged1)
+    ram_rows, _ = MultiStreamPipeline(CFG, S).run(
+        videos(), background0=plates
+    )
+    for s in range(S):
+        got, ram = sorted(rows2[s]), sorted(ram_rows[s])
+        assert got == ram
+        for g, r in zip(got, ram):
+            assert [type(v) for v in g] == [type(v) for v in r], (
+                "log-mode row types diverge from in-RAM mode"
+            )

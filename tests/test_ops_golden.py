@@ -80,6 +80,30 @@ def test_otsu_matches_cv2():
     assert abs(t_ours - t_ref) <= 1.0
 
 
+def test_histogram_u8_chunked_exact():
+    """histogram_u8's pixel-axis chunking (the OOM guard for
+    production-scale Otsu: batch 256 @ 1080p would otherwise build two
+    ~17 GB one-hot operands) must stay bit-exact: chunked == unchunked ==
+    np.bincount, for batched and unbatched inputs, including a pixel
+    count that does not divide the chunk (zero-pad correction on bin 0).
+    """
+    from tpuva.ops.filters import histogram_u8
+
+    rng = np.random.default_rng(5)
+    for shape in [(64, 96), (4, 33, 47)]:
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        flat = x.reshape(-1, shape[-2] * shape[-1])
+        ref = np.stack(
+            [np.bincount(r, minlength=256) for r in flat]
+        ).astype(np.float32).reshape(shape[:-2] + (256,))
+        full = np.asarray(histogram_u8(jnp.asarray(x)))
+        chunked = np.asarray(
+            histogram_u8(jnp.asarray(x), max_onehot_elems=999)
+        )
+        np.testing.assert_array_equal(full, ref)
+        np.testing.assert_array_equal(chunked, ref)
+
+
 # ------------------------------------------------------------- morphology
 @pytest.mark.parametrize("shape", ["rect", "ellipse"])
 @pytest.mark.parametrize("ksize", [3, 5, 7])

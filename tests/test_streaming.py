@@ -307,3 +307,35 @@ def test_streaming_otsu_resume_equivalence(tmp_path):
     )
     rows = sp2.run(VideoMemory(clip), background0=plate, resume=True)
     assert rows_equal(rows, full)
+
+
+def test_row_log_fresh_run_discards_stale_rows(tmp_path):
+    """A fresh (non-resume) run must truncate an existing RowLog: rows
+    left by a previous run (e.g. one that crashed before its first
+    checkpoint) would otherwise silently duplicate into the results."""
+    clip, plate = clip_and_plate(frames=32)
+    rlogp = str(tmp_path / "rows.bin")
+
+    sp0 = StreamingPipeline(CFG, parallel_bg=False, row_log_path=rlogp)
+    first = sp0.run(VideoMemory(clip), background0=plate)
+    assert len(first) > 0
+
+    # second fresh run against the SAME log file (no checkpoint at all)
+    sp1 = StreamingPipeline(CFG, parallel_bg=False, row_log_path=rlogp)
+    again = sp1.run(VideoMemory(clip), background0=plate)
+    assert len(again) == len(first), "stale rows leaked into a fresh run"
+    assert rows_equal([tuple(r) for r in again], [tuple(r) for r in first])
+
+    # resume=False with a checkpoint present must also start clean
+    ckpt = str(tmp_path / "state.npz")
+    sp2 = StreamingPipeline(
+        CFG, checkpoint_path=ckpt, checkpoint_every=2, parallel_bg=False,
+        row_log_path=rlogp,
+    )
+    sp2.run(VideoMemory(clip), background0=plate, resume=False)
+    sp3 = StreamingPipeline(
+        CFG, checkpoint_path=ckpt, checkpoint_every=2, parallel_bg=False,
+        row_log_path=rlogp,
+    )
+    final = sp3.run(VideoMemory(clip), background0=plate, resume=False)
+    assert len(final) == len(first)

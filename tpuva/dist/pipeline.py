@@ -229,21 +229,28 @@ class MultiStreamPipeline:
         use_log = self.row_log_dir is not None
         if use_log:
             os.makedirs(self.row_log_dir, exist_ok=True)
-            rlogs = [
+        rlogs = None  # opened only after checkpoint-mode validation
+
+        def _open_logs():
+            return [
                 RowLog(os.path.join(self.row_log_dir, f"stream_{s}.rows"))
                 for s in range(S)
             ]
-        else:
-            rlogs = None
+
         rows_by_stream = [[] for _ in range(S)]
 
         def finish():
-            # read logs back into the common list-of-tuples shape so both
-            # modes return (and merge/export) identically
+            # read logs back into the common list-of-tuples shape — same
+            # (int, int, float, float, float) rows as collect_rows — so
+            # both modes return (and merge/export) identically
             if use_log:
                 out = []
                 for rl in rlogs:
-                    out.append([tuple(r) for r in rl.read()])
+                    out.append([
+                        (int(r[0]), int(r[1]), float(r[2]), float(r[3]),
+                         float(r[4]))
+                        for r in rl.read()
+                    ])
                     rl.close()
                 return out
             return rows_by_stream
@@ -269,6 +276,7 @@ class MultiStreamPipeline:
                         "checkpoint stores RowLog counts but no "
                         "row_log_dir was given"
                     )
+                rlogs = _open_logs()
                 for rl, cnt in zip(rlogs, saved):
                     rl.truncate(int(cnt))
             else:
@@ -280,6 +288,13 @@ class MultiStreamPipeline:
             fidx = np.asarray(carry.frame_idx)
             assert (fidx == fidx[0]).all(), "streams out of lock-step"
             start_frame = int(fidx[0])
+        if use_log and rlogs is None:
+            # fresh (non-resume) run: rows left in the logs by a previous
+            # run would silently duplicate into the merged export — start
+            # every stream's log clean.
+            rlogs = _open_logs()
+            for rl in rlogs:
+                rl.truncate(0)
 
         if start_frame >= total:
             rows_by_stream = finish()

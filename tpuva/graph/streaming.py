@@ -494,7 +494,7 @@ class StreamingPipeline:
         cfg = self.cfg
         W, H = video.size
         chunks: list = []  # list of (k, 5) float64 arrays
-        rlog = RowLog(self.row_log_path) if self.row_log_path else None
+        rlog: Optional[RowLog] = None  # opened only after mode validation
         carry = init_carry(cfg, H, W, background0)
         start_frame = 0
         if (
@@ -504,19 +504,26 @@ class StreamingPipeline:
         ):
             carry, saved = load_checkpoint(self.checkpoint_path, cfg)
             if isinstance(saved, int):
-                if rlog is None:
+                if not self.row_log_path:
                     raise ValueError(
                         "checkpoint stores a RowLog count but no "
                         "row_log_path was given"
                     )
+                rlog = RowLog(self.row_log_path)
                 rlog.truncate(saved)
             else:
-                if rlog is not None:
+                if self.row_log_path:
                     raise ValueError(
                         "checkpoint embeds rows but row_log_path is set"
                     )
                 chunks = [np.asarray(saved, np.float64).reshape(-1, 5)]
             start_frame = int(carry.frame_idx)
+        if self.row_log_path and rlog is None:
+            # fresh (non-resume) run: rows left in the log from a previous
+            # run would silently duplicate into this run's results —
+            # start the log clean.
+            rlog = RowLog(self.row_log_path)
+            rlog.truncate(0)
 
         def rows_state():
             return rlog.count() if rlog is not None else np.concatenate(
@@ -589,7 +596,9 @@ class StreamingPipeline:
                 )
         except BaseException:
             drainer.kill()  # don't leave the thread racing the sink (a
-            raise           # resumed run may reopen the same RowLog)
+            if rlog is not None:  # resumed run may reopen the same RowLog
+                rlog.close()
+            raise
         finally:
             stager.close()
         if rlog is not None:

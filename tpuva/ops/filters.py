@@ -148,7 +148,7 @@ def threshold(x: jnp.ndarray, thresh: float, maxval: float = 255.0) -> jnp.ndarr
     return jnp.where(x > thresh, jnp.uint8(int(maxval)), jnp.uint8(0))
 
 
-def histogram_u8(x: jnp.ndarray) -> jnp.ndarray:
+def histogram_u8(x: jnp.ndarray, max_onehot_elems: int = 1 << 24) -> jnp.ndarray:
     """256-bin histogram of a uint8 image batch WITHOUT a scatter.
 
     jnp.bincount lowers to a scatter-add — on the repo's TPU avoid-list.
@@ -158,18 +158,45 @@ def histogram_u8(x: jnp.ndarray) -> jnp.ndarray:
     per pixel (vs 256 for a direct compare-reduce) and the contraction
     runs on the MXU; counts are exact in f32 for any image < 2^24 px.
 
+    The (..., P, 16) one-hot operands are materialized by XLA, so the
+    pixel axis is chunked with a lax.scan once batch×pixels exceeds
+    ~16.7M elements (~0.5 GB/operand in bf16): without this, the staged
+    Otsu route at production scale (batch 256 @ 1080p = 531M px) would
+    build two ~17 GB intermediates and OOM a 16 GB-HBM chip. Counts stay
+    exact: chunk partial sums are integer-valued f32 (< 2^24 per bin)
+    and zero-padding is subtracted from bin 0.
+
     x: (..., H, W) uint8 → (..., 256) float32 counts, bin v = pixel value.
     """
+
+    def hist16(flat):
+        hi = (flat >> 4)[..., None] == jnp.arange(16, dtype=jnp.int32)
+        lo = (flat & 15)[..., None] == jnp.arange(16, dtype=jnp.int32)
+        h2 = jnp.einsum(
+            "...ph,...pl->...hl",
+            hi.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return h2.reshape(flat.shape[:-1] + (256,))
+
     flat = x.reshape(x.shape[:-2] + (-1,)).astype(jnp.int32)
-    hi = (flat >> 4)[..., None] == jnp.arange(16, dtype=jnp.int32)
-    lo = (flat & 15)[..., None] == jnp.arange(16, dtype=jnp.int32)
-    h2 = jnp.einsum(
-        "...ph,...pl->...hl",
-        hi.astype(jnp.bfloat16),
-        lo.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+    P = flat.shape[-1]
+    lead = int(np.prod(flat.shape[:-1], dtype=np.int64)) if flat.ndim > 1 else 1
+    chunk = max(1, int(max_onehot_elems) // max(lead, 1))
+    if P <= chunk:
+        return hist16(flat)
+    n = -(-P // chunk)
+    pad = n * chunk - P
+    flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, pad)])
+    chunks = jnp.moveaxis(
+        flat.reshape(flat.shape[:-1] + (n, chunk)), -2, 0
     )
-    return h2.reshape(x.shape[:-2] + (256,))
+    acc0 = jnp.zeros(flat.shape[:-1] + (256,), jnp.float32)
+    hist, _ = lax.scan(lambda a, c: (a + hist16(c), None), acc0, chunks)
+    if pad:
+        hist = hist.at[..., 0].add(-np.float32(pad))
+    return hist
 
 
 def otsu_from_histogram(hist: jnp.ndarray) -> jnp.ndarray:
