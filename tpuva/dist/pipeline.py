@@ -372,7 +372,10 @@ class MultiStreamPipeline:
                 self._save_checkpoint(carry, rows_state(), cfg)
         except BaseException:
             drainer.kill()  # see StreamingPipeline.run: never leave the
-            raise           # thread racing a resumed run's row state
+            if use_log:     # thread racing a resumed run's row state
+                for rl in rlogs:
+                    rl.close()
+            raise
         finally:
             for st in stagers:
                 st.close()
