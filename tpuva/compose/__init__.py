@@ -1,1 +1,1 @@
-from tpuva.compose.composer import VideoComposer  # noqa: F401
+from tpuva.compose.composer import VideoComposer, annotate_tracks  # noqa: F401
