@@ -1,0 +1,127 @@
+"""Config-space fuzz: randomized pipeline configs run through BOTH the
+refimpl CPU oracle and the batched device path on the same synthetic
+scene (SURVEY.md §4.2 property-test strategy, generalizing the
+hand-picked e2e configs).
+
+Two families, matching the framework's stated exactness contract:
+
+- blur=None: every op on the path (median, threshold incl. Otsu,
+  morphology, CCL+stats, tracker) is bit-reproducible vs cv2 — masks
+  bit-equal, rows id-exact.
+- blur on: cv2's uint8 GaussianBlur is fixed-point (<=3 LSB off float,
+  SURVEY §8) and refimpl re-quantizes to uint8 between stages while the
+  device path carries float32, so threshold-boundary pixels may flip
+  (CLAUDE.md: "blur within float associativity"). The contract is the
+  BASELINE 1 px centroid tolerance: flips must stay a trace fraction of
+  the mask, shared rows must agree <=1 px, and boundary detections may
+  appear/vanish only at a trace rate.
+
+Seeded, so failures reproduce; keep the config count small — every
+distinct config is a fresh XLA compile on the CI box.
+"""
+
+import numpy as np
+import pytest
+
+from refimpl.pipeline import run_pipeline
+from refimpl.synthetic import multi_blob_clip
+from tpuva.graph.config import (
+    BackgroundConfig,
+    BlurConfig,
+    MedianConfig,
+    MorphConfig,
+    PipelineConfig,
+    SegmentConfig,
+    TrackConfig,
+)
+from tpuva.graph.pipeline import process_clip
+
+from tests.test_pipeline_e2e import assert_rows_match
+
+
+def random_config(rng: np.random.Generator, with_blur: bool) -> PipelineConfig:
+    blur = int(rng.choice([3, 5, 7])) if with_blur else 0
+    median = rng.choice([0, 3])
+    mo = rng.choice([0, 3, 5])
+    mc = rng.choice([0, 3])
+    return PipelineConfig(
+        background=BackgroundConfig(alpha=float(rng.choice([0.0, 0.02, 0.1]))),
+        blur=BlurConfig(ksize=blur) if blur else None,
+        median=MedianConfig(ksize=int(median)) if median else None,
+        morph_open=(
+            MorphConfig(ksize=int(mo),
+                        shape=str(rng.choice(["rect", "ellipse"])))
+            if mo else None
+        ),
+        morph_close=(
+            MorphConfig(ksize=int(mc),
+                        shape=str(rng.choice(["rect", "ellipse"])))
+            if mc else None
+        ),
+        segment=SegmentConfig(
+            threshold=float(rng.choice([25.0, 40.0])),
+            min_area=int(rng.choice([10, 30])),
+            max_blobs=6,
+        ),
+        track=TrackConfig(
+            max_dist=float(rng.choice([40.0, 80.0])),
+            death_patience=int(rng.choice([2, 5])),
+            max_tracks=12,
+            assigner=str(rng.choice(["greedy", "hungarian"])),
+        ),
+        batch=int(rng.choice([4, 8, 16])),
+    )
+
+
+def fuzz_scene(seed):
+    return multi_blob_clip(
+        h=96, w=128, frames=24, n_blobs=3, radius=7,
+        births_deaths=bool(seed % 2), noise_sigma=2.0, seed=seed,
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_config_bit_exact_without_blur(seed):
+    """Everything except Gaussian blur is bit-reproducible: random
+    configs of the other knobs must match refimpl exactly."""
+    rng = np.random.default_rng(1000 + seed)
+    cfg = random_config(rng, with_blur=False)
+    clip, _, _, plate = fuzz_scene(seed)
+    ref = run_pipeline(clip, cfg, background0=plate, record=True)
+    rows, _, masks = process_clip(
+        clip, cfg, background0=plate, return_masks=True
+    )
+    np.testing.assert_array_equal(masks, np.stack(ref.masks))
+    assert_rows_match(ref.rows, rows)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_config_with_blur_within_rounding_contract(seed):
+    """With blur, divergence must stay inside the documented fixed-point
+    rounding band: trace mask flips, shared rows <=1 px, trace rate of
+    boundary-detection births/deaths."""
+    rng = np.random.default_rng(2000 + seed)
+    cfg = random_config(rng, with_blur=True)
+    clip, _, _, plate = fuzz_scene(seed)
+    ref = run_pipeline(clip, cfg, background0=plate, record=True)
+    rows, _, masks = process_clip(
+        clip, cfg, background0=plate, return_masks=True
+    )
+    rm = np.stack(ref.masks)
+    flip_frac = (masks != rm).mean()
+    assert flip_frac < 1e-3, f"mask flip fraction {flip_frac}"
+
+    ra = {(int(r[0]), int(r[1])): (r[2], r[3]) for r in ref.rows}
+    rb = {(int(r[0]), int(r[1])): (r[2], r[3]) for r in rows}
+    common = set(ra) & set(rb)
+    n = max(len(ra), len(rb), 1)
+    assert len(common) >= 0.98 * n, (
+        f"row sets diverged beyond boundary rate: {len(ra)} vs {len(rb)}, "
+        f"common {len(common)}"
+    )
+    assert common, "no common rows — test is vacuous"
+    err = max(
+        max(abs(ra[k][0] - rb[k][0]), abs(ra[k][1] - rb[k][1]))
+        for k in common
+    )
+    assert err <= 1.0, f"centroid error {err} breaks the 1 px contract"
