@@ -123,3 +123,25 @@ def test_bench_preflight_bounded():
     assert bench.tpu_preflight(60.0) is True  # CPU backend, instant
     assert bench.tpu_preflight(0.3, _probe=lambda: time.sleep(30)) is False
     assert time.perf_counter() - t0 < 30.0
+
+
+def test_library_import_does_not_initialize_backend():
+    """Importing any tpuva layer must not touch the JAX backend: a
+    module-level jnp constant once made `import tpuva.app` initialize
+    the device at import time — which hangs forever when the accelerator
+    is unreachable (observed against a dead TPU tunnel). An
+    unsatisfiable JAX_PLATFORMS makes any backend init in the subprocess
+    raise, so a clean import proves purity."""
+    import subprocess, sys as _sys, os as _os
+
+    env = dict(_os.environ, JAX_PLATFORMS="no_such_platform_xyz")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import tpuva, tpuva.app, tpuva.graph.streaming, tpuva.dist, "
+         "tpuva.track.table, tpuva.filters, tpuva.analysis, tpuva.compose; "
+         "print('IMPORT_CLEAN')"],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    )
+    assert "IMPORT_CLEAN" in r.stdout, (r.stdout, r.stderr[-800:])

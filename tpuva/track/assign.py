@@ -22,11 +22,17 @@ detection column j, the matched row index or -1.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-BIG = jnp.float32(1e30)
+# np (not jnp): a module-level jnp scalar would initialize the JAX
+# backend at import time — `import tpuva.app` must not touch the device
+# (and hangs forever if the accelerator is unreachable). np.float32
+# converts identically inside traced expressions.
+BIG = np.float32(1e30)
 
 
 @jax.jit
