@@ -229,3 +229,14 @@ def test_extract_detections_matches_refimpl():
             np.testing.assert_allclose(
                 np.asarray(dets[t, j]), [x, y, a], atol=1e-3
             )
+
+
+def test_stats_surface_ccl_convergence():
+    """connected_components_with_stats must surface the propagation
+    convergence flag (never silently drop accuracy): present and True on
+    the fixed-point XLA path, for batched and squeezed inputs."""
+    mask = (np.arange(64 * 96).reshape(64, 96) % 7 == 0).astype(np.uint8) * 255
+    out = ops.connected_components_with_stats(jnp.asarray(mask))
+    assert bool(out["ccl_converged"]) is True
+    outb = ops.connected_components_with_stats(jnp.asarray(mask[None]))
+    assert bool(outb["ccl_converged"]) is True

@@ -263,3 +263,23 @@ def test_fused_with_median():
     np.testing.assert_array_equal(m_pls, m_jnp)
     assert r_pls == r_jnp
     np.testing.assert_array_equal(np.asarray(c_pls.bg), np.asarray(c_jnp.bg))
+
+
+def test_empty_batch_returns_empty():
+    """N == 0 must answer without entering the kernel: the epilogue waits
+    on the last frame's mask DMA, which an empty batch never starts — on
+    hardware that wait would deadlock the core."""
+    import jax.numpy as jnp
+
+    from tpuva.ops.pallas.fused_segment import fused_segment
+
+    bg0 = jnp.zeros((64, 128), jnp.float32)
+    frames = jnp.zeros((0, 64, 128), jnp.uint8)
+    m, bg = fused_segment(frames, bg0, alpha=0.1, threshold=20.0)
+    assert m.shape == (0, 64, 128) and m.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(bg), np.asarray(bg0))
+    mp, bg2, occ = fused_segment(
+        frames, bg0, alpha=0.1, threshold=20.0, padded_occ=True
+    )
+    assert mp.shape[0] == 0 and occ.shape[0] == 0
+    assert mp.shape[1] % 2 == 0 and mp.shape[2] % 128 == 0

@@ -248,18 +248,14 @@ def _strip_view(x: jnp.ndarray, connectivity: int):
             .transpose(0, 1, 3, 2, 4)
             .reshape(N, Q, 512)
         )
-        dr = np.repeat(np.arange(2), 256)
-        dc = np.tile(np.arange(256), 2)
-        kpos = (dc // 2) * 4 + dr * 2 + (dc % 2)
-        perm = np.empty(512, np.int32)
-        perm[kpos] = np.arange(512)  # spatial index producing K slot t
+        perm = _strip_view_meta(8)[3]  # spatial index producing K slot t
     else:
         Qc = -(-W // 512)
         Wp = Qc * 512
         xp = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W)))
         Q = H * Qc
         strips = xp.reshape(N, Q, 512)
-        perm = np.arange(512, dtype=np.int32)
+        perm = _strip_view_meta(4)[3]
     return strips, Qc, Q, perm
 
 
@@ -351,10 +347,9 @@ def _strip_view_meta(connectivity: int):
 
 
 @partial(
-    jax.jit, static_argnames=("connectivity", "max_components", "chunk")
+    jax.jit, static_argnames=("connectivity", "max_components")
 )
-def _root_table(root: jnp.ndarray, connectivity: int, max_components: int,
-                chunk: int = 512):
+def _root_table(root: jnp.ndarray, connectivity: int, max_components: int):
     """The first `max_components` root keys in cv2 id order.
 
     Transpose-free "strip" scheme: a chunk of 512 consecutive K slots is a
@@ -429,6 +424,7 @@ def connected_components_with_stats(
     jump_rounds: int = 0,
     compute_bbox: bool = True,
     compute_labels: bool = True,
+    strict: bool = True,
 ):
     """Batched cv2.connectedComponentsWithStats.
 
@@ -460,11 +456,15 @@ def connected_components_with_stats(
         # grid-sequential Pallas propagation: bit-identical, ~5x faster
         from tpuva.ops.pallas.ccl import label_components_tiled
 
-        root = label_components_tiled(mask, connectivity=connectivity)
+        root, converged = label_components_tiled(
+            mask, connectivity=connectivity, return_converged=True
+        )
     else:
+        # XLA path iterates to a true fixed point — always converged
         root = label_components(
             mask, connectivity=connectivity, jump_rounds=jump_rounds
         )
+        converged = jnp.bool_(True)
     out = _stats_from_root(
         root,
         max_components=max_components,
@@ -472,8 +472,22 @@ def connected_components_with_stats(
         compute_bbox=compute_bbox,
         compute_labels=compute_labels,
     )
+    # never silently drop accuracy (CLAUDE.md): if the tiled kernel's
+    # round cap was hit, labels may still be split — surface the flag,
+    # and raise eagerly when we can (inside jit the caller must check
+    # out["ccl_converged"], as the staged pipeline does)
+    out["ccl_converged"] = converged
+    if strict and not isinstance(converged, jax.core.Tracer):
+        if not bool(converged):
+            raise RuntimeError(
+                "tiled CCL hit its propagation round cap before "
+                "converging — component stats would be split/wrong. "
+                "Re-run with the XLA path (CPU backend / "
+                "label_components) or raise the kernel's max_rounds."
+            )
     if squeeze:
-        out = {k: v[0] for k, v in out.items()}
+        out = {k: (v if k == "ccl_converged" else v[0])
+               for k, v in out.items()}
     return out
 
 
@@ -516,13 +530,16 @@ def _assemble_stats(sums, n_roots, H: int, W: int, C: int):
     cy = jnp.where(present, sy_f / safe_area, 0.0).astype(jnp.float32)
     centroid = jnp.stack([cx, cy], axis=-1)
     csum_c = jnp.stack([sx_c, sy_c], axis=-1)
-    csum = jnp.concatenate(
-        [
-            jnp.stack([sx0, sy0], axis=-1).astype(jnp.int32)[:, None],
-            csum_c,
-        ],
-        axis=1,
-    )
+    # row 0 (background) coordinate sums exceed int32 beyond ~1080p (4K:
+    # ~1.6e10) and are float32-rounded above ~2^24 regardless — clamp the
+    # cast so it stays defined instead of an out-of-range f32->i32
+    # conversion; the bg row is not a blob statistic (see docstring), and
+    # its float centroid above is unaffected. Component rows are exact.
+    imax = jnp.float32(2**31 - 128)  # largest f32 below 2^31
+    csum0 = jnp.clip(
+        jnp.stack([sx0, sy0], axis=-1), -imax, imax
+    ).astype(jnp.int32)[:, None]
+    csum = jnp.concatenate([csum0, csum_c], axis=1)
     csum = jnp.where(present[:, :, None], csum, 0)
     return count, area, centroid, csum, present
 
@@ -732,6 +749,61 @@ def _stats_from_root(
     return out
 
 
+def _limb_contract(got, table, b, c):
+    """Payload contraction via the additive limb split — THE single copy
+    of the exactness-critical factorization used by both the raw and the
+    compact stats tails.
+
+    For slot v of strip (b, c): x = 256c + xl (xl = v % 256),
+    y = 2b + yl (yl = v >= 256). Because strip bases are 256- (x) and
+    2- (y) aligned, every 6-bit limb decomposes with NO carry:
+    limb(x) = limb(256c) + limb(xl) since 256c's low 6 bits are 0 and
+    (4c & 63) + (xl >> 6) <= 60 + 3 = 63 (likewise (2b & 63) + yl <= 63).
+    So the (N, S*512, 7) payload factors into a STATIC per-slot part
+    L[v, :] plus a tiny per-strip base B[n, s, :], and the long einsum
+    becomes two compare+sum reductions over `got` (XLA fuses the compare
+    into each — no (N, P, C) or (N, P, 7) tensor ever hits HBM) and two
+    small exact-in-f32 contractions:
+        sums = einsum(E2, L) + einsum(cnt, B)
+        E2[n, v, c]  = #strips whose slot v belongs to root c
+        cnt[n, s, c] = #slots of strip s belonging to root c
+    All quantities are integer counts/coordinates well below 2^24, so
+    f32 arithmetic is exact and the result is bit-identical to a direct
+    one-hot matmul.
+
+    got: (N, S, 512) root key per slot; table: (N, C); b, c: (N, S)
+    strip block-row / block-col coords. Returns (sums (N, C, 7),
+    eq4 (N, S, 512, C) — reused by _bbox_from_strips).
+    """
+    vs = np.arange(512, dtype=np.int64)
+    xl, yl = vs % 256, (vs >= 256).astype(np.int64)
+    L = jnp.asarray(
+        np.stack(
+            [np.ones(512), xl & 63, xl >> 6, np.zeros(512),
+             yl, np.zeros(512), np.zeros(512)],
+            axis=-1,
+        ).astype(np.float32)
+    )  # (512, 7)
+    xb, yb = 256 * c, 2 * b
+    B = jnp.stack(
+        [
+            jnp.zeros_like(xb), jnp.zeros_like(xb),
+            (xb >> 6) & 63, xb >> 12,
+            yb & 63, (yb >> 6) & 63, yb >> 12,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # (N, S, 7)
+    eq4 = got[:, :, :, None] == table[:, None, None, :]  # (N, S, 512, C)
+    E2 = jnp.sum(eq4, axis=1, dtype=jnp.float32)  # (N, 512, C)
+    cnt = jnp.sum(eq4, axis=2, dtype=jnp.float32)  # (N, S, C)
+    sums = jnp.einsum(
+        "nvc,vk->nck", E2, L, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "nsc,nsk->nck", cnt, B, preferred_element_type=jnp.float32
+    )  # (N, C, 7)
+    return sums, eq4
+
+
 def _bbox_from_strips(eq4, b, c, present, H: int, W: int):
     """(x, y, w, h) per component from strip-space membership — the
     fast-path twin of _stats_from_root's dense row/col contractions
@@ -875,49 +947,9 @@ def _stats_from_raw(
     tvalid = cs[None, :] < n_roots[:, None]
     table = jnp.where(tvalid, kval, jnp.int32(sent + 2))
 
-    # Payload contraction via the additive limb split. For slot v of strip
-    # (b, c): x = 256c + xl (xl = v % 256), y = 2b + yl (yl = v >= 256).
-    # Because strip bases are 256- (x) and 2- (y) aligned, every 6-bit limb
-    # decomposes with NO carry:  limb(x) = limb(256c) + limb(xl)  since
-    # 256c's low 6 bits are 0 and (4c & 63) + (xl >> 6) <= 60 + 3 = 63
-    # (and likewise (2b & 63) + yl <= 62 + 1 = 63). So the old
-    # (N, K*512, 7) payload factors into a STATIC per-slot part L[v, :]
-    # plus a tiny per-strip base B[n, s, :], and the P-length einsum
-    # becomes two compare+sum reductions over `got` (XLA fuses the
-    # comparison into each — no (N, P, C) or (N, P, 7) tensor ever hits
-    # HBM) and two small exact-in-f32 contractions:
-    #   sums = einsum(E2, L) + einsum(cnt, B)
-    #   E2[n, v, c] = #strips whose slot v belongs to root c
-    #   cnt[n, s, c] = #slots of strip s belonging to root c
-    # All quantities are integer counts/coordinates well below 2^24, so
-    # f32 arithmetic is exact and the result is bit-identical to the old
-    # one-hot matmul.
-    vs = np.arange(512, dtype=np.int64)
-    xl, yl = vs % 256, (vs >= 256).astype(np.int64)
-    L = jnp.asarray(
-        np.stack(
-            [np.ones(512), xl & 63, xl >> 6, np.zeros(512),
-             yl, np.zeros(512), np.zeros(512)],
-            axis=-1,
-        ).astype(np.float32)
-    )  # (512, 7)
-    xb, yb = 256 * c, 2 * b
-    B = jnp.stack(
-        [
-            jnp.zeros_like(xb), jnp.zeros_like(xb),
-            (xb >> 6) & 63, xb >> 12,
-            yb & 63, (yb >> 6) & 63, yb >> 12,
-        ],
-        axis=-1,
-    ).astype(jnp.float32)  # (N, K, 7)
-    eq4 = got[:, :, :, None] == table[:, None, None, :]  # (N, K, 512, C)
-    E2 = jnp.sum(eq4, axis=1, dtype=jnp.float32)  # (N, 512, C)
-    cnt = jnp.sum(eq4, axis=2, dtype=jnp.float32)  # (N, K, C)
-    sums = jnp.einsum(
-        "nvc,vk->nck", E2, L, preferred_element_type=jnp.float32
-    ) + jnp.einsum(
-        "nsc,nsk->nck", cnt, B, preferred_element_type=jnp.float32
-    )  # (N, C, 7)
+    # payload contraction: carry-free limb factorization, single proof
+    # and implementation in _limb_contract
+    sums, eq4 = _limb_contract(got, table, b, c)
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C
     )
@@ -1076,34 +1108,9 @@ def _stats_from_compact(
     tvalid = cs[None, :] < n_roots[:, None]
     table = jnp.where(tvalid, kval, jnp.int32(sent + 2))
 
-    # payload contraction: identical carry-free limb factorization to
-    # _stats_from_raw (x = 256c + xl, y = 2b + yl; bases 256-/2-aligned)
-    vs = np.arange(512, dtype=np.int64)
-    xl, yl = vs % 256, (vs >= 256).astype(np.int64)
-    L = jnp.asarray(
-        np.stack(
-            [np.ones(512), xl & 63, xl >> 6, np.zeros(512),
-             yl, np.zeros(512), np.zeros(512)],
-            axis=-1,
-        ).astype(np.float32)
-    )  # (512, 7)
-    xb, yb = 256 * c, 2 * b
-    B = jnp.stack(
-        [
-            jnp.zeros_like(xb), jnp.zeros_like(xb),
-            (xb >> 6) & 63, xb >> 12,
-            yb & 63, (yb >> 6) & 63, yb >> 12,
-        ],
-        axis=-1,
-    ).astype(jnp.float32)  # (N, S, 7)
-    eq4 = got[:, :, :, None] == table[:, None, None, :]  # (N, S, 512, C)
-    E2 = jnp.sum(eq4, axis=1, dtype=jnp.float32)  # (N, 512, C)
-    cnt = jnp.sum(eq4, axis=2, dtype=jnp.float32)  # (N, S, C)
-    sums = jnp.einsum(
-        "nvc,vk->nck", E2, L, preferred_element_type=jnp.float32
-    ) + jnp.einsum(
-        "nsc,nsk->nck", cnt, B, preferred_element_type=jnp.float32
-    )  # (N, C, 7)
+    # payload contraction: carry-free limb factorization, single proof
+    # and implementation in _limb_contract
+    sums, eq4 = _limb_contract(got, table, b, c)
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C
     )

@@ -134,6 +134,27 @@ def _tile_sweep(v, m32, sent, connectivity: int, max_run: int = 0):
     return v
 
 
+def _frontier(flags, occ3):
+    """Tiles to process next pass: occupied tiles with a ring-changed
+    8-neighbor. The changed tile itself is locally converged (its sweep
+    ran to a fixed point) so the CENTER is excluded; frames don't
+    interact. THE single copy shared by both tiled kernels — the
+    ring-flag/frontier logic is soundness-critical (see make_flag_index)
+    and must not fork. flags: flat (Nf*gh*gw); occ3: (Nf, gh, gw)."""
+    Nf, gh, gw = occ3.shape
+    f3 = flags.reshape(Nf, gh, gw)
+    fp = jnp.pad(f3, ((0, 0), (1, 1), (1, 1)))
+    nb = jnp.zeros_like(f3)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = jnp.maximum(
+                nb, fp[:, 1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
+            )
+    return (jnp.minimum(nb, 1) * occ3).reshape(-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -433,21 +454,7 @@ def label_components_tiled(
     occ3 = occ.reshape(Nf, gh, gw)
 
     def frontier(flags):
-        """Tiles to process next pass: occupied tiles with a ring-changed
-        8-neighbor. The changed tile itself is locally converged (its
-        sweep ran to a fixed point) so the CENTER is excluded; frames
-        don't interact."""
-        f3 = flags.reshape(Nf, gh, gw)
-        fp = jnp.pad(f3, ((0, 0), (1, 1), (1, 1)))
-        nb = jnp.zeros_like(f3)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                nb = jnp.maximum(
-                    nb, fp[:, 1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
-                )
-        return (jnp.minimum(nb, 1) * occ3).reshape(-1)
+        return _frontier(flags, occ3)
 
     # pass 1: forward, labels initialized from the mask in VMEM
     lab, flags = run_pass(lab0, True, True, occ)
@@ -618,19 +625,25 @@ def label_components_tiled_raw(
         slotarr = jnp.where(
             occq > 0, jnp.minimum(rank, T), T
         ).reshape(-1).astype(jnp.int32)
-        # The slot array is scalar-prefetched into SMEM (~1 MB/core on
-        # v5e). Past the budget Mosaic fails with an opaque
-        # "Allocation would exceed memory (space=smem)" at compile time
-        # (measured: batch 512 @1080p -> 1.13 MB operand); fail here
-        # with an actionable message instead.
-        slot_bytes = slotarr.size * 4
-        if slot_bytes > 1_000_000:
+        # ALL scalar-prefetch operands share SMEM (~1 MB/core on v5e):
+        # the frontier flags (Nf*gh*gw), the per-frame occupancy
+        # (Nfp*gh*gw) AND the slot array — past the budget Mosaic fails
+        # with an opaque "Allocation would exceed memory (space=smem)"
+        # at compile time (measured: batch 512 @1080p -> 1.13 MB slot
+        # operand alone); fail here with an actionable message instead,
+        # summing the whole prefetch set so near-limit batches (e.g.
+        # ~384-448 @1080p, where slots alone pass but slots+occupancy
+        # don't) are caught too.
+        smem_bytes = (occ_g.size + occf.size + slotarr.size) * 4
+        if smem_bytes > 1_000_000:
             raise ValueError(
-                f"compact-slot prefetch array is {slot_bytes} bytes for "
-                f"batch {Nfp} at {H}x{W} — exceeds the ~1 MB SMEM "
-                "budget. Use batch <= 256 at 1080p (split larger "
-                "batches into multiple dispatches) or disable compact "
-                "slots (compact_slots=0) for this shape."
+                f"scalar-prefetch operands total {smem_bytes} bytes "
+                f"(slots {slotarr.size * 4}, occupancy {occf.size * 4}, "
+                f"frontier {occ_g.size * 4}) for batch {Nfp} at {H}x{W} "
+                "— exceeds the ~1 MB SMEM budget. Use batch <= 256 at "
+                "1080p (split larger batches into multiple dispatches) "
+                "or disable compact slots (compact_slots=0) for this "
+                "shape."
             )
 
     def make_pass(forward: bool, first: bool):
@@ -1013,59 +1026,45 @@ def label_components_tiled_raw(
         )(*inputs)
 
     def frontier(flags):
-        f3 = flags.reshape(Nf, gh, gw)
-        fp = jnp.pad(f3, ((0, 0), (1, 1), (1, 1)))
-        nb = jnp.zeros_like(f3)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                nb = jnp.maximum(
-                    nb, fp[:, 1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
-                )
-        return (jnp.minimum(nb, 1) * occ3).reshape(-1)
+        return _frontier(flags, occ3)
 
+    # ONE pass-alternation driver for both variants: cmp is a dummy
+    # scalar when compact slots are off (use_compact is static, so the
+    # branches below are resolved at trace time and the while_loop carry
+    # stays a fixed pytree either way)
     if use_compact:
         lab, cmp, flags = run_pass(None, None, True, True, occ_g)
-        fr = frontier(flags.reshape(-1))
+    else:
+        lab, flags = run_pass(None, None, True, True, occ_g)
+        cmp = jnp.int32(0)
+    fr = frontier(flags.reshape(-1))
 
-        def cond(state):
-            _lab, _cmp, fr, _fwd, passes = state
-            return (jnp.max(fr) > 0) & (passes < 2 * max_rounds)
+    def cond(state):
+        _lab, _cmp, fr, _fwd, passes = state
+        return (jnp.max(fr) > 0) & (passes < 2 * max_rounds)
 
-        def body(state):
-            lab, cmp, fr, fwd, passes = state
+    def body(state):
+        lab, cmp, fr, fwd, passes = state
+        if use_compact:
             lab, cmp, flags = lax.cond(
                 fwd,
                 lambda l, c, f: run_pass(l, c, True, False, f),
                 lambda l, c, f: run_pass(l, c, False, False, f),
                 lab, cmp, fr,
             )
-            return lab, cmp, frontier(flags.reshape(-1)), ~fwd, passes + 1
+        else:
+            lab, flags = lax.cond(
+                fwd,
+                lambda l, f: run_pass(l, None, True, False, f),
+                lambda l, f: run_pass(l, None, False, False, f),
+                lab, fr,
+            )
+        return lab, cmp, frontier(flags.reshape(-1)), ~fwd, passes + 1
 
-        lab, cmp, fr, _, _ = lax.while_loop(
-            cond, body, (lab, cmp, fr, jnp.bool_(False), jnp.int32(1))
-        )
-        return lab, cmp, jnp.max(fr) == 0
-
-    lab, flags = run_pass(None, None, True, True, occ_g)
-    fr = frontier(flags.reshape(-1))
-
-    def cond(state):
-        _lab, fr, _fwd, passes = state
-        return (jnp.max(fr) > 0) & (passes < 2 * max_rounds)
-
-    def body(state):
-        lab, fr, fwd, passes = state
-        lab, flags = lax.cond(
-            fwd,
-            lambda l, f: run_pass(l, None, True, False, f),
-            lambda l, f: run_pass(l, None, False, False, f),
-            lab, fr,
-        )
-        return lab, frontier(flags.reshape(-1)), ~fwd, passes + 1
-
-    lab, fr, _, _ = lax.while_loop(
-        cond, body, (lab, fr, jnp.bool_(False), jnp.int32(1))
+    lab, cmp, fr, _, _ = lax.while_loop(
+        cond, body, (lab, cmp, fr, jnp.bool_(False), jnp.int32(1))
     )
-    return lab, jnp.max(fr) == 0
+    converged = jnp.max(fr) == 0
+    if use_compact:
+        return lab, cmp, converged
+    return lab, converged

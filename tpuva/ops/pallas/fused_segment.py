@@ -141,6 +141,20 @@ def fused_segment(
     N, H, W = frames.shape
     if emit not in ("mask", "diff"):
         raise ValueError(emit)
+    if N == 0:
+        # the kernel epilogue waits on the last frame's mask DMA, which an
+        # empty batch never starts — on hardware that wait would deadlock
+        # the core, so answer empty batches without entering the kernel
+        if padded_occ:
+            TH0, TW0 = tile if tile is not None else fused_tile(H, W)[:2]
+            gh0, gw0 = -(-H // TH0), -(-W // TW0)
+            Hp0, Wp0 = gh0 * TH0, gw0 * TW0
+            return (
+                jnp.zeros((0, Hp0, Wp0), jnp.uint8),
+                bg0.astype(jnp.float32),
+                jnp.zeros((0, Hp0 // 2, Wp0 // 128), jnp.uint8),
+            )
+        return jnp.zeros((0, H, W), jnp.uint8), bg0.astype(jnp.float32)
     if emit == "diff":
         assert not (open_ksize or close_ksize or padded_occ), (
             "diff mode emits pre-threshold magnitudes: no morphology or "
