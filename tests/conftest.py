@@ -20,11 +20,42 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: interpret-mode Pallas tests are
 # compile-dominated on this 1-core box (~20 min cold); a warm cache cuts
 # repeat suite runs to a fraction. Harmless no-op where unsupported.
+# Same per-platform + host-CPU segregation as
+# tpuva.utils.enable_compilation_cache: a stale XLA:CPU AOT entry compiled
+# on a different physical host (this VM migrates across boots) SIGABRTs
+# the reader inside executable deserialization — a fingerprinted directory
+# turns that into a clean cache miss.
+from tpuva.utils import host_cpu_fingerprint  # noqa: E402
+
 try:
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+        os.path.join(
+            os.path.dirname(__file__), "..", ".jax_cache",
+            f"cpu-{host_cpu_fingerprint()}",
+        ),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_cache_hygiene_per_module():
+    """Free compiled executables at module boundaries.
+
+    A single pytest process running the whole suite accumulates hundreds
+    of live XLA:CPU executables; deep into that state, XLA's AOT
+    serialization of one more executable segfaults the process (observed
+    deterministically at ~70% of a cold-cache full run, in
+    put_executable_and_time — upstream XLA:CPU bug, not reproducible with
+    any file subset). Dropping the in-memory caches at each module
+    boundary keeps the process out of that regime; recompiles are cheap
+    because the persistent disk cache still hits."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -145,3 +145,33 @@ def test_library_import_does_not_initialize_backend():
         cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     )
     assert "IMPORT_CLEAN" in r.stdout, (r.stdout, r.stderr[-800:])
+
+
+def test_compilation_cache_dir_segregation():
+    """Cache dirs are segregated per requested platform and (for cpu) per
+    host-CPU fingerprint: a stale XLA:CPU AOT entry compiled on a
+    different physical host SIGABRTs the reader at load, and a shared dir
+    lets the axon TPU plugin and the CPU suite collide — both observed on
+    this box. The tag must come from the REQUESTED platform without
+    touching the live backend (import purity)."""
+    import jax
+
+    from tpuva.utils import enable_compilation_cache, host_cpu_fingerprint
+
+    fp = host_cpu_fingerprint()
+    assert fp and fp != "unknown" and len(fp) == 8
+    # conftest pins jax_platforms to cpu for the whole suite
+    enable_compilation_cache()
+    d = jax.config.jax_compilation_cache_dir
+    assert d.endswith(f"cpu-{fp}"), d
+    # non-cpu platforms get a plain platform tag (no host fingerprint:
+    # their executables target the accelerator, not this host's CPU)
+    try:
+        enable_compilation_cache(platform="axon")
+        d2 = jax.config.jax_compilation_cache_dir
+        assert d2.endswith("axon"), d2
+        enable_compilation_cache(platform="")
+        assert jax.config.jax_compilation_cache_dir.endswith("default")
+    finally:
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir.endswith(f"cpu-{fp}")

@@ -11,17 +11,69 @@ import sys
 import time
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> None:
-    """Point JAX's persistent compilation cache at `<repo>/.jax_cache`
-    (compiles on this box are expensive: interpret-mode Pallas on CPU and
-    the staged TPU programs both take minutes cold). Safe no-op where the
-    backend doesn't support serialization. Call before the first jit."""
+def host_cpu_fingerprint() -> str:
+    """Short stable hash of the host CPU's feature flags (order-insensitive;
+    'unknown' where /proc/cpuinfo is unavailable). Used to segregate
+    XLA:CPU AOT cache entries per physical-host CPU type — see
+    enable_compilation_cache."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(
+                        sorted(line.split(":", 1)[1].split())
+                    )
+                    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "unknown"
+
+
+def enable_compilation_cache(
+    cache_dir: str | None = None, platform: str | None = None
+) -> None:
+    """Point JAX's persistent compilation cache at
+    `<repo>/.jax_cache/<platform>` (compiles on this box are expensive:
+    interpret-mode Pallas on CPU and the staged TPU programs both take
+    minutes cold). Safe no-op where the backend doesn't support
+    serialization. Call before the first jit.
+
+    The cache directory is segregated by the REQUESTED platform
+    (JAX_PLATFORMS / jax_platforms config, NOT the live backend — reading
+    the live backend here would initialize it, breaking import purity and
+    the bounded tunnel preflight). Sharing one directory between the CPU
+    test suite and the experimental axon TPU plugin was observed to
+    hard-abort readers (SIGABRT inside executable deserialization, no
+    Python exception) when a concurrently-running other-backend process
+    populated an entry the reader's key also mapped to.
+
+    The cpu directory additionally carries a fingerprint of the host CPU
+    feature flags (host_cpu_fingerprint): XLA:CPU AOT executables encode
+    the compile machine's features, and this box is a VM that can be
+    rescheduled onto a different physical host across boots — a stale
+    same-key entry then dies at load ("could lead to execution errors
+    such as SIGILL", cpu_aot_loader) instead of recompiling. A
+    fingerprinted directory makes a host change a clean cache miss."""
     import jax
 
+    if platform is None:
+        try:
+            platform = jax.config.jax_platforms or os.environ.get(
+                "JAX_PLATFORMS", ""
+            )
+        except Exception:
+            platform = os.environ.get("JAX_PLATFORMS", "")
+    tag = (platform.split(",")[0].strip() or "default") if platform \
+        else "default"
+    if tag == "cpu":
+        tag = f"cpu-{host_cpu_fingerprint()}"
     if cache_dir is None:
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache",
+            tag,
         )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
