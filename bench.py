@@ -10,6 +10,14 @@ baseline denominator, BASELINE.json:5,7).
 Prints ONE JSON line:
   {"metric": ..., "value": fps_per_chip, "unit": "frames/sec/chip",
    "vs_baseline": speedup_vs_cpu}
+
+The vs_baseline denominator is max(live cv2 measurement, PINNED_CPU_FPS):
+the baseline is re-measured every run (so a faster host raises the bar),
+but a contended box can only make the reported speedup SMALLER, never
+larger. PINNED_CPU_FPS is the best uncontended cv2 throughput observed on
+this host (BENCH_r01.json: 34.25 fps; a concurrent pytest run once
+depressed the live number to 12.93, which would have inflated the
+speedup 2.5x).
 """
 
 from __future__ import annotations
@@ -117,6 +125,12 @@ def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=32,
         # through the tunneled device)
         best = max(best, n_frames / (time.perf_counter() - t0))
     return best
+
+
+# Best uncontended refimpl throughput observed on this host (see module
+# docstring). Floors the vs_baseline denominator so host contention during
+# the live measurement can never inflate the reported speedup.
+PINNED_CPU_FPS = 34.25
 
 
 def bench_cpu(clip, plate, cfg, n_frames=16, trials=3):
@@ -264,8 +278,9 @@ def main():
         "metric": f"full-pipeline throughput @{args.height}p",
         "value": round(fps_tpu, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps_tpu / fps_cpu, 2),
-        "baseline_cpu_fps": round(fps_cpu, 2),
+        "vs_baseline": round(fps_tpu / max(fps_cpu, PINNED_CPU_FPS), 2),
+        "baseline_cpu_fps": round(max(fps_cpu, PINNED_CPU_FPS), 2),
+        "baseline_cpu_fps_live": round(fps_cpu, 2),
         "max_centroid_err_px": round(max_err, 6),
         "rows_match_reference": bool(rows_match),
     }
