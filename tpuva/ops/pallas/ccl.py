@@ -503,12 +503,18 @@ def label_components_tiled_raw(
     tile: tuple = (64, 256),
     max_rounds: int = 64,
     frames_per_step: int = 8,
-    max_run: int = 128,
+    max_run: int = 64,
     compact_slots: int = 0,
     compact_rows: int = 16,
     debug_poison: bool = False,
 ):
     """Fourth-generation tail: CCL without ANY full-image HBM pass.
+
+    Grid layout (gen 5): (Nf, gh) with the tile-column axis as an
+    in-kernel fori_loop plus a per-row visit-skip prefetch — see the
+    grid-collapse and row-skip comments in make_pass. Visit order (and
+    therefore every halo-read/write ordering argument below) is
+    byte-identical to the dense (Nf, gh, gw) raster grid.
 
     Same propagation algorithm as label_components_tiled, but the label
     buffer is never initialized and never post-processed:
@@ -528,6 +534,13 @@ def label_components_tiled_raw(
       strip gathers that only ever touch occupied (written) strips.
 
     8-connectivity only (the pipeline contract, tpuva/graph/config.py).
+
+    max_run=64 (vs the dense kernel's 128): truncating the prefix-doubling
+    scans at 64 px cut the measured batch cost ~5% on the 1080p bench
+    scene with zero effect on results — the within-tile while_loop still
+    runs to a true local fixed point (truncation only adds iterations for
+    fragments whose runs exceed 64 px, i.e. blobs bigger than ~64 px
+    across, which then converge in 2+ sweeps instead of 1).
 
     Args:
       mask_padded: (N, Hp, Wp) uint8, zero outside the true (H, W) image;
@@ -634,7 +647,10 @@ def label_components_tiled_raw(
         # summing the whole prefetch set so near-limit batches (e.g.
         # ~384-448 @1080p, where slots alone pass but slots+occupancy
         # don't) are caught too.
-        smem_bytes = (occ_g.size + occf.size + slotarr.size) * 4
+        # + Nf*gh for the per-row visit-skip operand
+        smem_bytes = (
+            occ_g.size + occf.size + slotarr.size + Nf * gh
+        ) * 4
         if smem_bytes > 1_000_000:
             raise ValueError(
                 f"scalar-prefetch operands total {smem_bytes} bytes "
@@ -649,11 +665,11 @@ def label_components_tiled_raw(
     def make_pass(forward: bool, first: bool):
         def kernel(*args):
             if use_compact:
-                fr_ref, occf_ref, slot_ref = args[:3]
-                refs = args[3:]
+                fr_ref, occf_ref, slot_ref, row_ref = args[:4]
+                refs = args[4:]
             else:
-                fr_ref, occf_ref = args[:2]
-                refs = args[2:]
+                fr_ref, occf_ref, row_ref = args[:3]
+                refs = args[3:]
             cmp_out = ccnt = sem_c = None
             if first:
                 if debug_poison:
@@ -676,50 +692,9 @@ def label_components_tiled_raw(
                      tilebuf, wcnt, sem_r, sem_w) = refs
             nf = pl.program_id(0)
             i = pl.program_id(1)
-            j = pl.program_id(2)
             if not forward:
                 i = pl.num_programs(1) - 1 - i
-                j = pl.num_programs(2) - 1 - j
             y0 = i * TH  # buffer window rows [y0, y0+SH)
-            xb = j * TW + (MC - PLW)  # buffer window cols [xb, xb+SW)
-            if first:
-                # pass 1 (forward raster) only consumes the TOP ring row
-                # (window row PT-1, any col <= PLW+TW) and the LEFT ring
-                # col (window col PLW-1, mid rows) — bottom/right halos
-                # are masked to SENT. Read just those two strips (393 KB
-                # vs the 1.31 MB full window at F=8); both lie entirely
-                # inside regions earlier raster tiles already wrote this
-                # pass (or are occupancy-masked). Aligned: y0 % 8 == 0,
-                # xb % 128 == 0.
-                rd_strips = [
-                    pltpu.make_async_copy(
-                        lab_out.at[
-                            pl.ds(nf * F, F), pl.ds(y0, PT), pl.ds(xb, SW)
-                        ],
-                        tilebuf.at[:, pl.ds(0, PT), :],
-                        sem_r,
-                    ),
-                    pltpu.make_async_copy(
-                        lab_out.at[
-                            pl.ds(nf * F, F),
-                            pl.ds(y0 + PT, TH),
-                            pl.ds(xb, PLW),
-                        ],
-                        tilebuf.at[:, pl.ds(PT, TH), pl.ds(0, PLW)],
-                        sem_r,
-                    ),
-                ]
-            else:
-                rd_strips = [
-                    pltpu.make_async_copy(
-                        lab_out.at[
-                            pl.ds(nf * F, F), pl.ds(y0, SH), pl.ds(xb, SW)
-                        ],
-                        tilebuf,
-                        sem_r,
-                    )
-                ]
-            flag_ref[0, 0, 0] = 0
 
             hy = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 0)
             hx = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 1)
@@ -737,210 +712,305 @@ def label_components_tiled_raw(
                 | (hx == PLW) | (hx == PLW + TW - 1)
             ) & owned
 
-            def nb_occ(t, di, dj):
-                ii, jj = i + di, j + dj
-                ok = (ii >= 0) & (ii < gh) & (jj >= 0) & (jj < gw)
-                idx = (
-                    t * gh + jnp.clip(ii, 0, gh - 1)
-                ) * gw + jnp.clip(jj, 0, gw - 1)
-                return jnp.where(ok, occf_ref[idx], 0) != 0
+            # grid-collapse: the tile-column axis runs INSIDE the kernel
+            # (lax.fori_loop over gw) instead of as a third grid axis.
+            # Each grid step of the dense (Nf, gh, gw) layout cost ~1.4 us
+            # of Mosaic sequencing even when skipped (measured: 5.9 ms
+            # pure-overhead floor per pass at 1080p batch 256); folding gw
+            # cuts the step count 8x with byte-identical visit order —
+            # iterations run sequentially in raster order (reversed for
+            # backward passes), all tile offsets were already dynamic
+            # (pl.ds on program_id-derived scalars), and the per-visit
+            # DMA start/drain discipline is unchanged.
+            # flag zeroing runs unconditionally (frontier soundness needs
+            # 0 for every unvisited tile); the expensive visit loop below
+            # is skipped for whole tile-rows with no occupied tile
+            def zero_flags(kstep, carry):
+                flag_ref[kstep, 0, 0] = 0
+                return carry
 
-            # pass 1 is a forward raster: tiles below/right (and the
-            # bottom-left diagonal) have not been written yet this pass —
-            # their halo is masked to SENT, exactly what the old SENT
-            # fill provided
-            dirs = (
-                ((-1, -1), top & lef), ((-1, 0), top & mid_x),
-                ((-1, 1), top & rig), ((0, -1), lef & mid_y),
-                ((0, 1), rig & mid_y), ((1, -1), bot & lef),
-                ((1, 0), bot & mid_x), ((1, 1), bot & rig),
-            )
-            if first:
-                dirs = dirs[:4]  # visited neighbors only (forward raster)
+            lax.fori_loop(0, gw, zero_flags, jnp.int32(0))
 
-            def allowed_mask(t):
-                a = owned
-                for (di, dj), region in dirs:
-                    a = a | (region & nb_occ(t, di, dj))
-                return a
-
-            def sweep_to_fixed_point(v0, mm, precheck: bool):
-                def check(v):
-                    return jnp.any(_nb_min(v, mm, SENT, 8) != v)
-
-                def inner(s):
-                    v, _ = s
-                    nv = _tile_sweep(v, mm, SENT, 8, max_run)
-                    return nv, check(nv)
-
-                ch0 = check(v0) if precheck else jnp.bool_(True)
-                v, _ = lax.while_loop(lambda s: s[1], inner, (v0, ch0))
-                return v
-
-            def wr_copy(f):
-                return pltpu.make_async_copy(
-                    tilebuf.at[f, pl.ds(PT, TH), pl.ds(PLW, TW)],
-                    lab_out.at[
-                        nf * F + f,
-                        pl.ds(y0 + PT, TH),
-                        pl.ds(xb + PLW, TW),
-                    ],
-                    sem_w,
-                )
-
-            def write_owned(f):
-                # start only — frame f's write-back overlaps frame f+1's
-                # sweep; drain_writes() at the end of the visit keeps the
-                # next grid step's halo reads ordered (all copies are the
-                # same size, so k waits on the shared semaphore drain k
-                # starts regardless of which frames started them)
-                wr_copy(f).start()
-                wcnt[0] = wcnt[0] + 1
-
-            def write_compact(f, t):
-                # extra (CR, TW) DMAs of the tile's occupied sub-blocks
-                # into their dense per-frame slots (own semaphore/count:
-                # sizes differ from the owned write-back)
-                if not use_compact:
-                    return
-                for k in range(QT):
-                    qidx = (t * Hq + (i * QT + k)) * gw + j
-                    slot = slot_ref[qidx]
-
-                    @pl.when(slot < T)
-                    def _(f=f, k=k, slot=slot):
+            def visit(kstep, carry):
+                j = kstep if forward else gw - 1 - kstep
+                xb = j * TW + (MC - PLW)  # buffer window cols [xb, xb+SW)
+                if first:
+                    # pass 1 (forward raster) only consumes the TOP ring
+                    # row (window row PT-1, any col <= PLW+TW) and the
+                    # LEFT ring col (window col PLW-1, mid rows) —
+                    # bottom/right halos are masked to SENT. Read just
+                    # those two strips (393 KB vs the 1.31 MB full window
+                    # at F=8); both lie entirely inside regions earlier
+                    # raster visits already wrote this pass (or are
+                    # occupancy-masked). Aligned: y0 % 8 == 0,
+                    # xb % 128 == 0.
+                    rd_strips = [
                         pltpu.make_async_copy(
-                            tilebuf.at[
-                                f, pl.ds(PT + k * CR, CR), pl.ds(PLW, TW)
+                            lab_out.at[
+                                pl.ds(nf * F, F), pl.ds(y0, PT),
+                                pl.ds(xb, SW)
                             ],
-                            cmp_out.at[nf * F + f, slot],
-                            sem_c,
-                        ).start()
-                        ccnt[0] = ccnt[0] + 1
+                            tilebuf.at[:, pl.ds(0, PT), :],
+                            sem_r,
+                        ),
+                        pltpu.make_async_copy(
+                            lab_out.at[
+                                pl.ds(nf * F, F),
+                                pl.ds(y0 + PT, TH),
+                                pl.ds(xb, PLW),
+                            ],
+                            tilebuf.at[:, pl.ds(PT, TH), pl.ds(0, PLW)],
+                            sem_r,
+                        ),
+                    ]
+                else:
+                    rd_strips = [
+                        pltpu.make_async_copy(
+                            lab_out.at[
+                                pl.ds(nf * F, F), pl.ds(y0, SH),
+                                pl.ds(xb, SW)
+                            ],
+                            tilebuf,
+                            sem_r,
+                        )
+                    ]
 
-            def drain_writes():
-                for k in range(F):
-                    @pl.when(k < wcnt[0])
-                    def _(k=k):
-                        wr_copy(0).wait()
-                if use_compact:
-                    cq = pltpu.make_async_copy(
-                        tilebuf.at[0, pl.ds(PT, CR), pl.ds(PLW, TW)],
-                        cmp_out.at[0, 0],
-                        sem_c,
+                def nb_occ(t, di, dj):
+                    ii, jj = i + di, j + dj
+                    ok = (ii >= 0) & (ii < gh) & (jj >= 0) & (jj < gw)
+                    idx = (
+                        t * gh + jnp.clip(ii, 0, gh - 1)
+                    ) * gw + jnp.clip(jj, 0, gw - 1)
+                    return jnp.where(ok, occf_ref[idx], 0) != 0
+
+                # pass 1 is a forward raster: tiles below/right (and the
+                # bottom-left diagonal) have not been written yet this
+                # pass — their halo is masked to SENT, exactly what the
+                # old SENT fill provided
+                dirs = (
+                    ((-1, -1), top & lef), ((-1, 0), top & mid_x),
+                    ((-1, 1), top & rig), ((0, -1), lef & mid_y),
+                    ((0, 1), rig & mid_y), ((1, -1), bot & lef),
+                    ((1, 0), bot & mid_x), ((1, 1), bot & rig),
+                )
+                if first:
+                    dirs = dirs[:4]  # visited neighbors only (fwd raster)
+
+                def allowed_mask(t):
+                    a = owned
+                    for (di, dj), region in dirs:
+                        a = a | (region & nb_occ(t, di, dj))
+                    return a
+
+                def sweep_to_fixed_point(v0, mm, precheck: bool):
+                    def check(v):
+                        return jnp.any(_nb_min(v, mm, SENT, 8) != v)
+
+                    def inner(s):
+                        v, _ = s
+                        nv = _tile_sweep(v, mm, SENT, 8, max_run)
+                        return nv, check(nv)
+
+                    ch0 = check(v0) if precheck else jnp.bool_(True)
+                    v, _ = lax.while_loop(lambda s: s[1], inner, (v0, ch0))
+                    return v
+
+                def wr_copy(f):
+                    return pltpu.make_async_copy(
+                        tilebuf.at[f, pl.ds(PT, TH), pl.ds(PLW, TW)],
+                        lab_out.at[
+                            nf * F + f,
+                            pl.ds(y0 + PT, TH),
+                            pl.ds(xb + PLW, TW),
+                        ],
+                        sem_w,
                     )
-                    for k in range(F * QT):
-                        @pl.when(k < ccnt[0])
+
+                def write_owned(f):
+                    # start only — frame f's write-back overlaps frame
+                    # f+1's sweep; drain_writes() at the end of the visit
+                    # keeps the next visit's halo reads ordered (all
+                    # copies are the same size, so wait k drains the k-th
+                    # started copy regardless of which frames started
+                    # them)
+                    wr_copy(f).start()
+                    wcnt[0] = wcnt[0] + 1
+
+                def write_compact(f, t):
+                    # extra (CR, TW) DMAs of the tile's occupied
+                    # sub-blocks into their dense per-frame slots (own
+                    # semaphore/count: sizes differ from the owned
+                    # write-back)
+                    if not use_compact:
+                        return
+                    for k in range(QT):
+                        qidx = (t * Hq + (i * QT + k)) * gw + j
+                        slot = slot_ref[qidx]
+
+                        @pl.when(slot < T)
+                        def _(f=f, k=k, slot=slot):
+                            pltpu.make_async_copy(
+                                tilebuf.at[
+                                    f, pl.ds(PT + k * CR, CR),
+                                    pl.ds(PLW, TW)
+                                ],
+                                cmp_out.at[nf * F + f, slot],
+                                sem_c,
+                            ).start()
+                            ccnt[0] = ccnt[0] + 1
+
+                def drain_writes():
+                    for k in range(F):
+                        @pl.when(k < wcnt[0])
                         def _(k=k):
-                            cq.wait()
-
-            def per_frame_first():
-                for f in range(F):
-                    t = nf * F + f
-                    self_occ = occf_ref[(t * gh + i) * gw + j] != 0
-
-                    @pl.when(self_occ)
-                    def _(f=f, t=t):
-                        mi = mskbuf[f].astype(jnp.int32)
-                        rr = jax.lax.broadcasted_iota(
-                            jnp.int32, (TH, TW), 0
-                        ) + i * TH
-                        cc = jax.lax.broadcasted_iota(
-                            jnp.int32, (TH, TW), 1
-                        ) + j * TW
-                        key = (
-                            ((rr >> 1) * Wb + (cc >> 1)) * 4
-                            + (rr & 1) * 2 + (cc & 1)
+                            wr_copy(0).wait()
+                    if use_compact:
+                        cq = pltpu.make_async_copy(
+                            tilebuf.at[0, pl.ds(PT, CR), pl.ds(PLW, TW)],
+                            cmp_out.at[0, 0],
+                            sem_c,
                         )
-                        tilebuf[f, PT:PT + TH, PLW:PLW + TW] = jnp.where(
-                            mi != 0, key, jnp.int32(SENT)
-                        )
-                        v0 = jnp.where(
-                            allowed_mask(t), tilebuf[f], jnp.int32(SENT)
-                        )
-                        mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
-                        v = sweep_to_fixed_point(v0, mm, precheck=False)
-                        ring_mask = jnp.max(
-                            jnp.where(on_ring & (v0 <= jnp.int32(sent_base)),
-                                      1, 0)
-                        )
+                        for k in range(F * QT):
+                            @pl.when(k < ccnt[0])
+                            def _(k=k):
+                                cq.wait()
 
-                        @pl.when(ring_mask > 0)
-                        def _():
-                            flag_ref[0, 0, 0] = 1
-                        tilebuf[f] = v
-                        write_owned(f)
-                        write_compact(f, t)
+                def per_frame_first():
+                    for f in range(F):
+                        t = nf * F + f
+                        self_occ = occf_ref[(t * gh + i) * gw + j] != 0
 
-            def per_frame_later():
-                for f in range(F):
-                    t = nf * F + f
-                    self_occ = occf_ref[(t * gh + i) * gw + j] != 0
-
-                    @pl.when(self_occ)
-                    def _(f=f, t=t):
-                        allow = allowed_mask(t)
-                        v0 = jnp.where(allow, tilebuf[f], jnp.int32(SENT))
-                        mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
-                        v = sweep_to_fixed_point(v0, mm, precheck=True)
-                        diff = (v != v0) & allow
-                        owned_changed = jnp.any(
-                            diff[PT:PT + TH, PLW:PLW + TW]
-                        )
-                        ring_changed = jnp.max(
-                            jnp.where(on_ring & diff, 1, 0)
-                        )
-
-                        @pl.when(owned_changed)
+                        @pl.when(self_occ)
                         def _(f=f, t=t):
-                            @pl.when(ring_changed > 0)
+                            mi = mskbuf[f].astype(jnp.int32)
+                            rr = jax.lax.broadcasted_iota(
+                                jnp.int32, (TH, TW), 0
+                            ) + i * TH
+                            cc = jax.lax.broadcasted_iota(
+                                jnp.int32, (TH, TW), 1
+                            ) + j * TW
+                            key = (
+                                ((rr >> 1) * Wb + (cc >> 1)) * 4
+                                + (rr & 1) * 2 + (cc & 1)
+                            )
+                            tilebuf[f, PT:PT + TH, PLW:PLW + TW] = (
+                                jnp.where(mi != 0, key, jnp.int32(SENT))
+                            )
+                            v0 = jnp.where(
+                                allowed_mask(t), tilebuf[f],
+                                jnp.int32(SENT)
+                            )
+                            mm = (
+                                v0 <= jnp.int32(sent_base)
+                            ).astype(jnp.int32)
+                            v = sweep_to_fixed_point(
+                                v0, mm, precheck=False
+                            )
+                            ring_mask = jnp.max(
+                                jnp.where(
+                                    on_ring
+                                    & (v0 <= jnp.int32(sent_base)),
+                                    1, 0,
+                                )
+                            )
+
+                            @pl.when(ring_mask > 0)
                             def _():
-                                flag_ref[0, 0, 0] = 1
+                                flag_ref[j, 0, 0] = 1
                             tilebuf[f] = v
                             write_owned(f)
                             write_compact(f, t)
 
-            occupied = fr_ref[(nf * gh + i) * gw + j] != 0
+                def per_frame_later():
+                    for f in range(F):
+                        t = nf * F + f
+                        self_occ = occf_ref[(t * gh + i) * gw + j] != 0
 
-            @pl.when(occupied)
+                        @pl.when(self_occ)
+                        def _(f=f, t=t):
+                            allow = allowed_mask(t)
+                            v0 = jnp.where(
+                                allow, tilebuf[f], jnp.int32(SENT)
+                            )
+                            mm = (
+                                v0 <= jnp.int32(sent_base)
+                            ).astype(jnp.int32)
+                            v = sweep_to_fixed_point(
+                                v0, mm, precheck=True
+                            )
+                            diff = (v != v0) & allow
+                            owned_changed = jnp.any(
+                                diff[PT:PT + TH, PLW:PLW + TW]
+                            )
+                            ring_changed = jnp.max(
+                                jnp.where(on_ring & diff, 1, 0)
+                            )
+
+                            @pl.when(owned_changed)
+                            def _(f=f, t=t):
+                                @pl.when(ring_changed > 0)
+                                def _():
+                                    flag_ref[j, 0, 0] = 1
+                                tilebuf[f] = v
+                                write_owned(f)
+                                write_compact(f, t)
+
+                occupied = fr_ref[(nf * gh + i) * gw + j] != 0
+
+                @pl.when(occupied)
+                def _():
+                    wcnt[0] = 0
+                    if use_compact:
+                        ccnt[0] = 0
+                    for rd in rd_strips:
+                        rd.start()
+                    if first:
+                        md = pltpu.make_async_copy(
+                            msk_in.at[
+                                pl.ds(nf * F, F),
+                                pl.ds(i * TH, TH),
+                                pl.ds(j * TW, TW),
+                            ],
+                            mskbuf,
+                            sem_m,
+                        )
+                        md.start()
+                        for rd in rd_strips:
+                            rd.wait()
+                        md.wait()
+                        per_frame_first()
+                    else:
+                        for rd in rd_strips:
+                            rd.wait()
+                        per_frame_later()
+                    drain_writes()
+                return carry
+
+            # row-skip: a grid step whose whole tile-row has no occupied
+            # (group, tile) pays only the gw flag-zero stores above —
+            # measured ~3.3 us/iteration for the full (predicated-off)
+            # visit body vs ~1.4 us for a skipped dense grid step, so
+            # without this an empty scene REGRESSED vs the 3-axis grid
+            def row_body():
+                lax.fori_loop(0, gw, visit, jnp.int32(0))
+
+            @pl.when(row_ref[nf * gh + i] != 0)
             def _():
-                wcnt[0] = 0
-                if use_compact:
-                    ccnt[0] = 0
-                for rd in rd_strips:
-                    rd.start()
-                if first:
-                    md = pltpu.make_async_copy(
-                        msk_in.at[
-                            pl.ds(nf * F, F),
-                            pl.ds(i * TH, TH),
-                            pl.ds(j * TW, TW),
-                        ],
-                        mskbuf,
-                        sem_m,
-                    )
-                    md.start()
-                    for rd in rd_strips:
-                        rd.wait()
-                    md.wait()
-                    per_frame_first()
-                else:
-                    for rd in rd_strips:
-                        rd.wait()
-                    per_frame_later()
-                drain_writes()
+                row_body()
 
         return kernel
 
     def make_flag_index(forward: bool):
-        # backward passes reflect (i, j) in-kernel; map the flag to the
-        # reflected tile (the one actually processed) — see the dense
-        # kernel's make_flag_index for the frontier-soundness argument
-        def flag_index(n, i, j, *prefetch_refs):
+        # backward passes reflect i in-kernel (and iterate j in reverse
+        # inside the fori_loop); map the flag BLOCK to the tile row
+        # actually processed — see the dense kernel's make_flag_index for
+        # the frontier-soundness argument. Each grid step owns the whole
+        # gw-wide row of flags (block (gw, 1, 1)); in-kernel writes index
+        # the ABSOLUTE tile column, so no j reflection is needed here.
+        def flag_index(n, i, *prefetch_refs):
             if not forward:
                 i = gh - 1 - i
-                j = gw - 1 - j
-            return ((n * gh + i) * gw + j, 0, 0)
+            return (n * gh + i, 0, 0)
 
         return flag_index
 
@@ -948,12 +1018,15 @@ def label_components_tiled_raw(
     cmp_shape = jax.ShapeDtypeStruct(
         (Nfp, T, CR, TW) if use_compact else (0,), jnp.int32
     )
-    n_prefetch = 3 if use_compact else 2
+    n_prefetch = 4 if use_compact else 3
 
     def run_pass(lab, cmp, forward: bool, first: bool, fr_eff):
         inputs = [fr_eff, occf]
         if use_compact:
             inputs.append(slotarr)
+        # per-(group, tile-row) occupancy/frontier: lets a grid step skip
+        # the whole in-kernel gw visit loop for rows with nothing to do
+        inputs.append(fr_eff.reshape(Nf, gh, gw).max(axis=2).reshape(-1))
         if first:
             inputs.append(mask_padded)
             n_arr = 1
@@ -992,7 +1065,8 @@ def label_components_tiled_raw(
             out_shape.append(cmp_shape)
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, 1), make_flag_index(forward), memory_space=pltpu.SMEM
+                (gw, 1, 1), make_flag_index(forward),
+                memory_space=pltpu.SMEM,
             )
         )
         out_shape.append(
@@ -1000,7 +1074,7 @@ def label_components_tiled_raw(
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
-            grid=(Nf, gh, gw),
+            grid=(Nf, gh),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -1015,7 +1089,7 @@ def label_components_tiled_raw(
         elif use_compact:
             aliases = {n_prefetch: 0, n_prefetch + 1: 1}
         else:
-            aliases = {2: 0}
+            aliases = {n_prefetch: 0}
         return pl.pallas_call(
             make_pass(forward, first),
             grid_spec=grid_spec,
