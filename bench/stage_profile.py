@@ -119,6 +119,9 @@ def main():
     # gen-5: compact tile write-out + gather-free stats
     from tpuva.ops.label import _stats_from_compact
 
+    del labraw  # 2.7 GB raw buffer still live would OOM the next
+    # stage's own 2.7 GB output on a 16 GB chip (observed)
+
     dt, (_lr2, cbuf, _c2) = timeit(
         lambda m, s: label_components_tiled_raw(
             m, s, H, W, compact_slots=48
@@ -136,7 +139,6 @@ def main():
     )
     print(f"_stats_from_compact   : {dt*1e3:8.2f} ms/batch")
     del cbuf
-    del labraw
 
     dt, _ = timeit(
         lambda r: _root_table(r, 8, MC), (root,)

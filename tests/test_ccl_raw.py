@@ -321,3 +321,27 @@ def test_compact_slot_smem_budget_guard():
         label_components_tiled_raw(
             mp, so, H, W, frames_per_step=4, compact_slots=32
         )
+
+
+def test_row_frontier_full_ring_spiral():
+    """A single component running around all four image edges (a closed
+    ring) spans every boundary tile and must propagate its min key both
+    forward and backward across several passes. Regression guard for the
+    row-granular ring-change frontier (gen 5): the raw kernel emits ONE
+    flag per (group, tile-row) and _frontier_rows re-expands it to tiles
+    — if the row superset argument (or the backward-pass row reflection)
+    were wrong, the loop would exit converged with the ring split."""
+    mask = np.zeros((2, 192, 768), np.uint8)
+    mask[0, 0:2, :] = 255
+    mask[0, :, 766:768] = 255
+    mask[0, 190:192, :] = 255
+    mask[0, :, 0:2] = 255
+    # second frame: same ring minus the top edge -> a C shape whose min
+    # key sits mid-left, still multi-pass
+    mask[1] = mask[0]
+    mask[1, 0:2, :] = 0
+    refs = run_ref(mask)
+    new, conv = run_raw(mask, 192, 768)
+    assert conv
+    assert (np.asarray(new["count"]) == 1).all()
+    assert_stats_equal(refs, new)

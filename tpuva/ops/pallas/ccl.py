@@ -138,9 +138,11 @@ def _frontier(flags, occ3):
     """Tiles to process next pass: occupied tiles with a ring-changed
     8-neighbor. The changed tile itself is locally converged (its sweep
     ran to a fixed point) so the CENTER is excluded; frames don't
-    interact. THE single copy shared by both tiled kernels — the
-    ring-flag/frontier logic is soundness-critical (see make_flag_index)
-    and must not fork. flags: flat (Nf*gh*gw); occ3: (Nf, gh, gw)."""
+    interact. Shared by the dense (gen-3) kernel; the raw kernel uses the
+    row-granular variant below — the ring-flag/frontier logic is
+    soundness-critical (see make_flag_index) and any further variant
+    must re-prove the superset argument. flags: flat (Nf*gh*gw);
+    occ3: (Nf, gh, gw)."""
     Nf, gh, gw = occ3.shape
     f3 = flags.reshape(Nf, gh, gw)
     fp = jnp.pad(f3, ((0, 0), (1, 1), (1, 1)))
@@ -153,6 +155,29 @@ def _frontier(flags, occ3):
                 nb, fp[:, 1 + dy:1 + dy + gh, 1 + dx:1 + dx + gw]
             )
     return (jnp.minimum(nb, 1) * occ3).reshape(-1)
+
+
+def _frontier_rows(row_flags, occ3):
+    """Row-granular frontier for the raw kernel (gen 5): the kernel emits
+    ONE ring-change flag per (frame-group, tile-row) — 1 SMEM store per
+    grid step instead of gw (the gw scalar stores were ~2/3 of the
+    empty-scene pass cost). Soundness: the tile-granular frontier is
+    {occupied tiles 8-adjacent to a ring-changed tile}; every such tile
+    lies in the changed tile's row or the rows directly above/below, so
+    {occupied tiles in rows within +-1 of a changed row} is a SUPERSET —
+    extra visits only re-run already-converged sweeps (cheap precheck),
+    never skip a tile that needs propagation. Convergence detection is
+    unchanged: no row flagged <=> no tile changed.
+
+    row_flags: flat (Nf*gh,); occ3: (Nf, gh, gw); returns per-tile
+    frontier, flat (Nf*gh*gw)."""
+    Nf, gh, gw = occ3.shape
+    f2 = row_flags.reshape(Nf, gh)
+    fp = jnp.pad(f2, ((0, 0), (1, 1)))
+    nb = jnp.maximum(
+        fp[:, :gh], jnp.maximum(fp[:, 1:gh + 1], fp[:, 2:gh + 2])
+    )
+    return (jnp.minimum(nb, 1)[:, :, None] * occ3).reshape(-1)
 
 
 @functools.partial(
@@ -722,14 +747,13 @@ def label_components_tiled_raw(
             # backward passes), all tile offsets were already dynamic
             # (pl.ds on program_id-derived scalars), and the per-visit
             # DMA start/drain discipline is unchanged.
-            # flag zeroing runs unconditionally (frontier soundness needs
-            # 0 for every unvisited tile); the expensive visit loop below
-            # is skipped for whole tile-rows with no occupied tile
-            def zero_flags(kstep, carry):
-                flag_ref[kstep, 0, 0] = 0
-                return carry
-
-            lax.fori_loop(0, gw, zero_flags, jnp.int32(0))
+            # ONE row-granular ring-change flag per grid step (frontier
+            # soundness needs 0 for every unvisited row — see
+            # _frontier_rows for why row granularity is a sound superset
+            # of the tile-granular frontier). A per-tile flag would cost
+            # gw scalar SMEM stores per step (~2/3 of the empty-scene
+            # pass cost, measured).
+            flag_ref[0, 0, 0] = 0
 
             def visit(kstep, carry):
                 j = kstep if forward else gw - 1 - kstep
@@ -916,7 +940,7 @@ def label_components_tiled_raw(
 
                             @pl.when(ring_mask > 0)
                             def _():
-                                flag_ref[j, 0, 0] = 1
+                                flag_ref[0, 0, 0] = 1
                             tilebuf[f] = v
                             write_owned(f)
                             write_compact(f, t)
@@ -950,7 +974,7 @@ def label_components_tiled_raw(
                             def _(f=f, t=t):
                                 @pl.when(ring_changed > 0)
                                 def _():
-                                    flag_ref[j, 0, 0] = 1
+                                    flag_ref[0, 0, 0] = 1
                                 tilebuf[f] = v
                                 write_owned(f)
                                 write_compact(f, t)
@@ -1002,11 +1026,10 @@ def label_components_tiled_raw(
 
     def make_flag_index(forward: bool):
         # backward passes reflect i in-kernel (and iterate j in reverse
-        # inside the fori_loop); map the flag BLOCK to the tile row
-        # actually processed — see the dense kernel's make_flag_index for
-        # the frontier-soundness argument. Each grid step owns the whole
-        # gw-wide row of flags (block (gw, 1, 1)); in-kernel writes index
-        # the ABSOLUTE tile column, so no j reflection is needed here.
+        # inside the fori_loop); map the ROW flag to the tile row actually
+        # processed — same reflection-soundness argument as the dense
+        # kernel's make_flag_index, at row granularity (one flag per
+        # grid step, _frontier_rows).
         def flag_index(n, i, *prefetch_refs):
             if not forward:
                 i = gh - 1 - i
@@ -1065,12 +1088,12 @@ def label_components_tiled_raw(
             out_shape.append(cmp_shape)
         out_specs.append(
             pl.BlockSpec(
-                (gw, 1, 1), make_flag_index(forward),
+                (1, 1, 1), make_flag_index(forward),
                 memory_space=pltpu.SMEM,
             )
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((Nf * gh * gw, 1, 1), jnp.int32)
+            jax.ShapeDtypeStruct((Nf * gh, 1, 1), jnp.int32)
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_prefetch,
@@ -1100,7 +1123,7 @@ def label_components_tiled_raw(
         )(*inputs)
 
     def frontier(flags):
-        return _frontier(flags, occ3)
+        return _frontier_rows(flags, occ3)
 
     # ONE pass-alternation driver for both variants: cmp is a dummy
     # scalar when compact slots are off (use_compact is static, so the
