@@ -327,8 +327,13 @@ def _finish_batch(cfg, carry, stats, mask, bg_last, return_masks):
 
     N = mask.shape[0]
     fidx = carry.frame_idx + jnp.arange(N, dtype=jnp.int32)
+    # unroll: the scan loop itself costs ~14 us/step at batch 256 on v5e
+    # (measured, bench/track_probe.py) — ~2.5x the tracker body. Unrolling
+    # 8 steps per iteration amortizes that sequencing to ~2 us/frame with
+    # an identical trace per step (no semantic change).
     tstate, (rows, row_valid) = lax.scan(
-        step, carry.track, (dets, det_valid, fidx)
+        step, carry.track, (dets, det_valid, fidx),
+        unroll=8 if N % 8 == 0 else 1,
     )
     new_carry = PipelineCarry(
         bg=bg_last,

@@ -1155,18 +1155,20 @@ def extract_detections(stats: dict, min_area: int, max_blobs: int = 8):
         [cent, area[..., None].astype(jnp.float32)], axis=-1
     )
 
-    def scatter(slots, pay):
-        return jnp.zeros((max_blobs, 3), jnp.float32).at[slots].set(
-            pay, mode="drop"
-        )
-
-    def scatter_i(slots, pay):
-        return jnp.zeros((max_blobs, 2), jnp.int32).at[slots].set(
-            pay, mode="drop"
-        )
-
-    dets = jax.vmap(scatter)(slot, payload)
-    det_sums = jax.vmap(scatter_i)(slot, csum)
+    # slot placement as a compare-masked sum, not a scatter: slots are
+    # distinct per frame, so summing the one selected payload over C is
+    # exact (0 + x == x in both f32 and int32) — the vmapped scatters this
+    # replaces cost ~3 ms/batch at bench shapes (see CLAUDE.md avoid-list)
+    onehot = (
+        slot[:, None, :] == jnp.arange(max_blobs, dtype=jnp.int32)[None, :, None]
+    )  # (N, max_blobs, C)
+    dets = jnp.sum(
+        jnp.where(onehot[..., None], payload[:, None, :, :], 0.0), axis=2
+    )
+    det_sums = jnp.sum(
+        jnp.where(onehot[..., None], csum[:, None, :, :], 0), axis=2,
+        dtype=jnp.int32,
+    )
     n_det = jnp.minimum(rank[:, -1], max_blobs) if C else jnp.zeros(N, jnp.int32)
     det_valid = jnp.arange(max_blobs)[None, :] < n_det[:, None]
     return dets, n_det, det_valid, det_sums
