@@ -345,3 +345,71 @@ def test_row_frontier_full_ring_spiral():
     assert conv
     assert (np.asarray(new["count"]) == 1).all()
     assert_stats_equal(refs, new)
+
+
+def test_labels_from_raw_matches_dense():
+    """Opt-in dense label maps from the raw buffer + root table are
+    bit-equal to the dense path's cv2-id labels (golden vs cv2), with
+    the buffers POISONED so any unmasked read corrupts the map."""
+    from tpuva.ops import connected_components_with_stats
+    from tpuva.ops.label import labels_from_raw
+
+    rng = np.random.default_rng(41)
+    scenes = [
+        ((rng.random((2, 150, 700)) < 0.04).astype(np.uint8) * 255,
+         150, 700),
+        ((rng.random((3, 64, 256)) < 0.3).astype(np.uint8) * 255, 64, 256),
+    ]
+    scenes[0][0][1] = 0  # empty frame: all-zero label map expected
+    for mask, h, w in scenes:
+        m = jnp.asarray(mask)
+        Hp, Wp = -(-h // 64) * 64, -(-w // 256) * 256
+        mp = jnp.pad(m, ((0, 0), (0, Hp - h), (0, Wp - w)))
+        o1 = lax.reduce_window(
+            mp, jnp.uint8(0), lax.max, (1, 1, 256), (1, 1, 256), "VALID"
+        )
+        so = lax.reduce_window(
+            o1, jnp.uint8(0), lax.max, (1, 2, 1), (1, 2, 1), "VALID"
+        )
+        labraw, conv = label_components_tiled_raw(
+            mp, so, h, w, frames_per_step=4, debug_poison=True
+        )
+        assert bool(conv)
+        stats = _stats_from_raw(labraw, so, h, w, max_components=64)
+        got = labels_from_raw(labraw, so, stats["root_table"], h, w)
+        ref = connected_components_with_stats(
+            m, max_components=64, compute_labels=True, compute_bbox=False
+        )["labels"]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_labels_from_raw_masks_key_aliasing_garbage():
+    """The 0x5A5A5A5A poison can never alias a real scan key (keys <
+    SENT << poison), so the poisoned e2e test above cannot prove the
+    occupancy gate against the WORST garbage: a stale buffer region
+    holding a key that IS in the root table. Hand-craft that case."""
+    from tpuva.ops.label import _scan_key, labels_from_raw
+
+    h = w = 64
+    Wp = 256
+    _k, _i, sent_base = _scan_key(h, w, 8)
+    SENT = sent_base + 1
+    # component = single pixel (0, 0): root key 0
+    labraw = np.zeros((1, h + 16, Wp + 512), np.int32)  # 0 == root key!
+    # occupied strip (row-pair 0, chunk 0): kernel-written contents —
+    # SENT background except the component pixel
+    labraw[0, 8:10, 256:512] = SENT
+    labraw[0, 8, 256] = 0
+    so = np.zeros((1, h // 2, Wp // 256), np.uint8)
+    so[0, 0, 0] = 1
+    table = np.full((1, 64), sent_base + 2, np.int32)
+    table[0, 0] = 0
+    got = np.asarray(
+        labels_from_raw(
+            jnp.asarray(labraw), jnp.asarray(so), jnp.asarray(table), h, w
+        )
+    )
+    want = np.zeros((1, h, w), np.int32)
+    want[0, 0, 0] = 1  # ONLY the real component pixel; every aliasing
+    # garbage pixel outside the occupied strip must stay background
+    np.testing.assert_array_equal(got, want)

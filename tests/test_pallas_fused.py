@@ -226,8 +226,21 @@ def test_staged_padded_handoff_matches_process_batch():
     for s in range(0, 16, 8):
         b = jnp.asarray(clip[s : s + 8])
         c1, o1 = process_batch(cfg, c1, b)
-        c2, o2 = process_batch_staged(cfg, c2, b, return_masks=True)
+        c2, o2 = process_batch_staged(
+            cfg, c2, b, return_masks=True, return_labels=True
+        )
         assert o2["masks"].shape == (8, h, w)
+        # opt-in dense label maps ride the same staged dispatch: cv2-id
+        # bit-equality vs the dense path on the pipeline's own masks
+        from tpuva.ops import connected_components_with_stats
+
+        ref_lab = connected_components_with_stats(
+            o2["masks"], max_components=64, compute_labels=True,
+            compute_bbox=False,
+        )["labels"]
+        np.testing.assert_array_equal(
+            np.asarray(o2["labels"]), np.asarray(ref_lab)
+        )
         rows1.extend(collect_rows(o1["rows"], o1["row_valid"],
                                   row_sums=o1["row_sums"]))
         rows2.extend(collect_rows(o2["rows"], o2["row_valid"],

@@ -203,7 +203,7 @@ def _fused_mask_stage(
     jax.jit,
     static_argnames=(
         "cfg", "return_masks", "max_components", "sparse_strips", "H", "W",
-        "compact", "compact_slots",
+        "compact", "compact_slots", "return_labels",
     ),
 )
 def _post_mask_stage(
@@ -219,6 +219,7 @@ def _post_mask_stage(
     W: int | None = None,
     compact: bool = True,
     compact_slots: int = 48,
+    return_labels: bool = False,
 ):
     """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
     path — see process_batch_staged).
@@ -285,7 +286,7 @@ def _post_mask_stage(
         # band boundaries with margin (bench scene max 27, soak scene
         # ~36 worst case); strict mode raises with the knob's name when
         # a denser scene needs more.
-        _labraw, cbuf, ccl_converged = label_components_tiled_raw(
+        labraw, cbuf, ccl_converged = label_components_tiled_raw(
             mp, strip_occ, H, W, compact_slots=compact_slots
         )
         stats = _stats_from_compact(
@@ -304,6 +305,14 @@ def _post_mask_stage(
     )
     out["stats_overflow"] = stats["overflow"]
     out["ccl_converged"] = ccl_converged
+    if return_labels:
+        # opt-in dense cv2-id label maps (full-image op; annotation /
+        # measurement consumers only — the tracking path never pays it)
+        from tpuva.ops.label import labels_from_raw
+
+        out["labels"] = labels_from_raw(
+            labraw, strip_occ, stats["root_table"], H, W
+        )
     return carry2, out
 
 
@@ -363,6 +372,7 @@ def process_batch_staged(
     max_components: int = 64,
     sparse_strips: int = 256,
     compact_slots: int = 48,
+    return_labels: bool = False,
 ):
     """TPU fast path: the pipeline as two jitted dispatches (Pallas fused
     mask kernel; then tiled CCL + stats + tracker).
@@ -385,6 +395,7 @@ def process_batch_staged(
             cfg, carry, mask, bg_last,
             return_masks=return_masks, max_components=max_components,
             sparse_strips=sparse_strips, compact_slots=compact_slots,
+            return_labels=return_labels,
         )
     _th, _tw, Hp, Wp = fused_tile(H, W)
     if Hp % 64 == 0 and Wp % 256 == 0:
@@ -395,13 +406,14 @@ def process_batch_staged(
             cfg, carry, mask, bg_last,
             return_masks=return_masks, max_components=max_components,
             sparse_strips=sparse_strips, occ128=occ128, H=H, W=W,
-            compact_slots=compact_slots,
+            compact_slots=compact_slots, return_labels=return_labels,
         )
     mask, bg_last = _fused_mask_stage(cfg, carry, frames)
     return _post_mask_stage(
         cfg, carry, mask, bg_last,
         return_masks=return_masks, max_components=max_components,
         sparse_strips=sparse_strips, compact_slots=compact_slots,
+        return_labels=return_labels,
     )
 
 

@@ -966,7 +966,59 @@ def _stats_from_raw(
         "centroid": centroid,
         "centroid_sum": csum,
         "overflow": overflow,
+        "root_table": table,
     }
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def labels_from_raw(
+    labraw: jnp.ndarray,
+    strip_occ: jnp.ndarray,
+    table: jnp.ndarray,
+    H: int,
+    W: int,
+):
+    """Dense cv2-id label map from the RAW CCL buffer + root table —
+    the opt-in fast-path twin of relabel_dense (which is golden-tested
+    vs cv2.connectedComponentsWithStats label ids).
+
+    labraw holds the converged scan-key labels for every WRITTEN tile
+    (key K for mask pixels, SENT for background) and GARBAGE elsewhere;
+    garbage can alias a real root key, so every read is gated by the
+    mask-derived strip occupancy — a pixel in an unoccupied (2x256)
+    strip is background by construction, whatever the buffer holds
+    (same invariant as the stats tails; see label_components_tiled_raw).
+
+    The root table is in ascending-key order == cv2 raster
+    first-appearance order (the codebase's pinned id contract), so
+    component j (0-based table column) gets dense id j+1. Cost: one
+    C-iteration compare-accumulate over the cropped image — a full-image
+    op, so this stays OFF the tracking fast path and is computed only
+    when a consumer asks for label maps (return_labels=True).
+
+    labraw: (Nfp, Hp+16, Wp+512) int32 (pixel (y, x) at (y+8, x+256));
+    strip_occ: (N, Hp//2, Wp//256) any-mask flag per (2x256) strip;
+    table: (N, C) int32 ascending root keys (invalid rows hold a
+    sentinel > any real key, which can never match a written value).
+    Returns (N, H, W) int32 dense labels, 0 = background.
+    """
+    N, Hbp, Qcp = strip_occ.shape
+    C = table.shape[1]
+    lab = labraw[:N, 8:8 + H, 256:256 + W]
+    # strip occupancy -> per-pixel gate (broadcast 2x rows, 256x cols)
+    occ_px = jnp.broadcast_to(
+        (strip_occ != 0)[:, :, None, :, None],
+        (N, Hbp, 2, Qcp, 256),
+    ).reshape(N, Hbp * 2, Qcp * 256)[:, :H, :W]
+    lab = jnp.where(occ_px, lab, jnp.int32(-1))  # -1 matches no table key
+
+    def body(j, acc):
+        tj = lax.dynamic_slice_in_dim(table, j, 1, axis=1)  # (N, 1)
+        return acc + jnp.where(
+            lab == tj[:, :, None], j + 1, 0
+        ).astype(jnp.int32)
+
+    return lax.fori_loop(0, C, body, jnp.zeros((N, H, W), jnp.int32))
 
 
 @partial(
@@ -1127,6 +1179,7 @@ def _stats_from_compact(
         "centroid": centroid,
         "centroid_sum": csum,
         "overflow": overflow,
+        "root_table": table,
     }
 
 
