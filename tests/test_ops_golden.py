@@ -240,3 +240,24 @@ def test_stats_surface_ccl_convergence():
     assert bool(out["ccl_converged"]) is True
     outb = ops.connected_components_with_stats(jnp.asarray(mask[None]))
     assert bool(outb["ccl_converged"]) is True
+
+
+@pytest.mark.parametrize("ksize", [3, 5])
+def test_binomial_blur_exact_for_integer_inputs(ksize):
+    """The box-cascade binomial path (sigma<=0, k in {3,5}) is EXACT for
+    integer-valued inputs: every partial sum is an integer < 2^24 and the
+    normalization is a power of two — pin bit-equality against an int64
+    ground-truth correlation. This is what makes the jnp and Pallas blur
+    twins bit-identical regardless of summation order."""
+    img = rand_u8(37, 61).astype(np.float32)
+    out = np.asarray(ops.gaussian_blur(jnp.asarray(img), ksize, 0.0))
+    k1 = (np.array([1, 2, 1]) if ksize == 3
+          else np.array([1, 4, 6, 4, 1])).astype(np.int64)
+    r = ksize // 2
+    xp = np.pad(img.astype(np.int64), r, mode="reflect")
+    rows = sum(k1[j] * xp[:, j:j + img.shape[1]] for j in range(ksize))
+    full = sum(k1[j] * rows[j:j + img.shape[0], :] for j in range(ksize))
+    want = (full.astype(np.float64) * 2.0 ** (-2 * (ksize - 1))).astype(
+        np.float32
+    )
+    np.testing.assert_array_equal(out, want)

@@ -48,7 +48,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuva.ops.filters import _median9, gaussian_kernel_1d, structuring_element
+from tpuva.ops.filters import (
+    _median9,
+    gaussian_kernel_1d,
+    is_binomial_blur,
+    structuring_element,
+)
 
 
 def _se_rows(shape: str, ksize: int):
@@ -208,6 +213,10 @@ def fused_segment(
         if blur_ksize
         else ()
     )
+    # binomial kernels run as an exact box cascade — same algorithm (and
+    # therefore, because every partial sum is an exact integer in f32,
+    # bit-identical results) as the jnp twin's _box_cascade_axis
+    blur_binom = bool(blur_ksize) and is_binomial_blur(blur_ksize, blur_sigma)
     a = float(alpha)
     thr = float(threshold)
 
@@ -308,7 +317,27 @@ def fused_segment(
             # Mosaic has no direct u8 <-> f32 cast; hop through int32
             f = ftile[slot].astype(jnp.int32).astype(jnp.float32)
 
-            if kblur:
+            if blur_binom:
+                # exact box cascade (see _box_cascade_axis): r passes of
+                # y[i] += y[i-1] then r of y[i] += y[i+1] per axis keep
+                # the window centered; one power-of-two scale at the end.
+                # All partial sums are exact integers in f32, so this is
+                # bit-identical to the jnp twin despite the roll-based
+                # (vs slice-based) shifts.
+                r = rb
+                for axis in (1, 0):  # row (W) pass first, like cv2
+                    for d in range(r):
+                        f = f + (
+                            _roll2(f, 0, -1) if axis == 1
+                            else _roll2(f, -1, 0)
+                        )
+                    for d in range(r):
+                        f = f + (
+                            _roll2(f, 0, 1) if axis == 1
+                            else _roll2(f, 1, 0)
+                        )
+                f = f * (2.0 ** (-2 * (blur_ksize - 1)))
+            elif kblur:
                 r = rb
                 # row (W) pass first, then column (H) — cv2 sepFilter2D
                 # order; symmetric-pair summation like the jnp op
