@@ -413,3 +413,35 @@ def test_labels_from_raw_masks_key_aliasing_garbage():
     want[0, 0, 0] = 1  # ONLY the real component pixel; every aliasing
     # garbage pixel outside the occupied strip must stay background
     np.testing.assert_array_equal(got, want)
+
+
+def test_exact_pass1_flag_right_to_left_improvement():
+    """Gen-6 exact pass-1 flag: a component straddling a 256-col tile
+    boundary with its MIN key on the RIGHT side forces the right tile to
+    flag (it can improve its already-visited left neighbor); skipping
+    that flag would end pass 1 'converged' with the left part stale."""
+    mask = np.zeros((2, 64, 512), np.uint8)
+    # frame 0: horizontal bar crossing col 256, topmost pixel on the right
+    mask[0, 10, 250:270] = 255   # bar row
+    mask[0, 8, 260:262] = 255    # topmost block in the RIGHT tile
+    mask[0, 9, 255:262] = 255    # connect top block to the bar
+    # frame 1: U through the tile BELOW — two arms in the top tile row
+    # joined only via the bottom tile, so the bottom tile must improve
+    # its earlier-visited top neighbor in pass 2
+    mask[1, 50:64, 100:103] = 255   # left arm (top tile, exits bottom)
+    mask[1, 50:64, 200:203] = 255   # right arm
+    mask[1, 63:64, 100:203] = 255   # bridge row inside the top tile? no:
+    mask[1, 63, 100:203] = 255      # bottom edge row of the top tile
+    ref = run_ref(mask)
+    new, conv = run_raw(mask, 64, 512)
+    assert conv
+    assert_stats_equal(ref, new)
+    # truly cross-tile-row U: arms reach into the second tile row
+    mask2 = np.zeros((1, 128, 256), np.uint8)
+    mask2[0, 40:80, 50:53] = 255    # left arm spans rows 40..79 (2 tiles)
+    mask2[0, 40:80, 150:153] = 255  # right arm
+    mask2[0, 78:80, 50:153] = 255   # bridge lives in the BOTTOM tile
+    ref2 = run_ref(mask2)
+    new2, conv2 = run_raw(mask2, 128, 256)
+    assert conv2
+    assert_stats_equal(ref2, new2)

@@ -29,6 +29,17 @@ Third-generation changes (round 2):
 - The loop exposes a convergence flag (`return_converged`) so callers can
   surface pathological non-convergence instead of silently truncating.
 
+Sixth-generation change (round 3, raw kernel only): pass 1's ring flag is
+EXACT instead of "ring carries mask". Pass 1 visits every occupied tile
+in raster order, so later-visited neighbors always consume this tile's
+final ring within the same pass; only already-visited neighbors (top halo
+row incl. diagonals, left halo column) can need re-scheduling, and
+whether this tile's final owned labels can lower any of their adjacent
+pixels is computable exactly against the halo snapshot. Blobs that merely
+TOUCH a tile edge no longer schedule a pass-2 neighborhood (~10 ms/batch
+on the 1080p bench scene, bench/ccl_pass_probe.py); see the in-kernel
+soundness comment in per_frame_first.
+
 Within a tile, propagation runs to a true local fixed point in VMEM via
 neighbor-min + segmented prefix-doubling scans — pure VPU work, no HBM
 traffic. Passes alternate forward/backward until the frontier empties;
@@ -930,15 +941,65 @@ def label_components_tiled_raw(
                             v = sweep_to_fixed_point(
                                 v0, mm, precheck=False
                             )
-                            ring_mask = jnp.max(
-                                jnp.where(
-                                    on_ring
-                                    & (v0 <= jnp.int32(sent_base)),
-                                    1, 0,
-                                )
+                            # EXACT pass-1 ring flag (gen 6) — replaces
+                            # the conservative "ring carries mask" flag
+                            # that scheduled a pass-2 neighborhood for
+                            # every edge-touching blob (~10 ms/batch on
+                            # the 1080p bench scene, measured by
+                            # bench/ccl_pass_probe.py). Soundness:
+                            # - LATER-visited neighbors (bottom row,
+                            #   right; pass 1 visits EVERY occupied
+                            #   tile) read this tile's final ring within
+                            #   this very pass (write_owned drains
+                            #   before the next visit's halo reads), so
+                            #   they can never need scheduling on this
+                            #   tile's account.
+                            # - EARLIER-visited neighbors (top halo row
+                            #   incl. both diagonal corners, left halo
+                            #   col) are final-for-this-pass and their
+                            #   1-px edges sit in v0's halo, so "can my
+                            #   owned labels lower any of their
+                            #   adjacent pixels" is computed EXACTLY:
+                            #   flag iff some halo mask pixel q in those
+                            #   regions has min(owned 3x3-neighbors of
+                            #   q in v) < v0(q). Unoccupied/unvisited
+                            #   halos are SENT-masked in v0 => mm(q)=0
+                            #   => never improvable.
+                            # - Monotonicity closes the induction:
+                            #   labels only decrease, so a neighbor not
+                            #   improvable now can never become
+                            #   improvable by this tile's unchanged
+                            #   ring later. Later passes keep their
+                            #   conservative ring-CHANGED flag, which
+                            #   is a superset of "can improve" — the
+                            #   mixed scheme stays a frontier superset
+                            #   (_frontier_rows argument unchanged).
+                            src = jnp.where(owned, v, jnp.int32(SENT))
+                            r1 = jnp.minimum(
+                                src,
+                                jnp.minimum(
+                                    _shift_fill(src, -1, 1, SENT),
+                                    _shift_fill(src, 1, 1, SENT),
+                                ),
+                            )
+                            nbo = jnp.minimum(
+                                r1,
+                                jnp.minimum(
+                                    _shift_fill(r1, -1, 0, SENT),
+                                    _shift_fill(r1, 1, 0, SENT),
+                                ),
+                            )
+                            early = (
+                                top
+                                & (hx >= PLW - 1) & (hx <= PLW + TW)
+                            ) | (lef & mid_y)
+                            improvable = (
+                                early
+                                & (v0 <= jnp.int32(sent_base))
+                                & (nbo < v0)
                             )
 
-                            @pl.when(ring_mask > 0)
+                            @pl.when(jnp.any(improvable))
                             def _():
                                 flag_ref[0, 0, 0] = 1
                             tilebuf[f] = v
