@@ -29,7 +29,7 @@ Third-generation changes (round 2):
 - The loop exposes a convergence flag (`return_converged`) so callers can
   surface pathological non-convergence instead of silently truncating.
 
-Sixth-generation change (round 3, raw kernel only): pass 1's ring flag is
+Sixth-generation change (round 3, both kernels): pass 1's ring flag is
 EXACT instead of "ring carries mask". Pass 1 visits every occupied tile
 in raster order, so later-visited neighbors always consume this tile's
 final ring within the same pass; only already-visited neighbors (top halo
@@ -359,13 +359,52 @@ def label_components_tiled(
                         v0 = jnp.where(valid, tilebuf[f], jnp.int32(SENT))
                         mm = (v0 <= jnp.int32(sent_base)).astype(jnp.int32)
                         v = sweep_to_fixed_point(v0, mm, precheck=False)
-                        # flag only if the RING carries mask pixels —
-                        # interior-only components can't affect neighbors
-                        ring_mask = jnp.max(
-                            jnp.where(on_ring & (v0 <= jnp.int32(sent_base)),
-                                      1, 0)
+                        # EXACT pass-1 flag (gen 6, same argument as the
+                        # raw kernel): later-visited neighbors consume
+                        # this tile's final ring within this very pass
+                        # (pass 1 visits every occupied tile in raster
+                        # order; in pass 1 their halo pixels are still
+                        # the SENT fill => never improvable), so flag
+                        # iff the final owned labels can LOWER an
+                        # already-visited neighbor's pixel in the 1-px
+                        # early halo (top row incl. diagonal corners,
+                        # left column). Exact for 8-conn; for 4-conn the
+                        # 3x3 neighbor-min is a superset (diagonal-only
+                        # adjacency may over-flag — extra pass, never a
+                        # wrong label).
+                        owned_reg = (
+                            (hy >= PT) & (hy < PT + TH)
+                            & (hx >= PL) & (hx < PL + TW)
                         )
-                        @pl.when(ring_mask > 0)
+                        src = jnp.where(owned_reg, v, jnp.int32(SENT))
+                        r1 = jnp.minimum(
+                            src,
+                            jnp.minimum(
+                                _shift_fill(src, -1, 1, SENT),
+                                _shift_fill(src, 1, 1, SENT),
+                            ),
+                        )
+                        nbo = jnp.minimum(
+                            r1,
+                            jnp.minimum(
+                                _shift_fill(r1, -1, 0, SENT),
+                                _shift_fill(r1, 1, 0, SENT),
+                            ),
+                        )
+                        early = (
+                            (hy == PT - 1)
+                            & (hx >= PL - 1) & (hx <= PL + TW)
+                        ) | (
+                            (hx == PL - 1)
+                            & (hy >= PT) & (hy < PT + TH)
+                        )
+                        improvable = (
+                            early
+                            & (v0 <= jnp.int32(sent_base))
+                            & (nbo < v0)
+                        )
+
+                        @pl.when(jnp.any(improvable))
                         def _():
                             flag_ref[0, 0, 0] = 1
                         tilebuf[f] = v
