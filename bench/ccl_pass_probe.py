@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Pass-count cost of the raw CCL kernel at 1080p (dev tool).
 
-The bench scene's blobs straddle tile boundaries at random, so pass 1's
-conservative ring flag (raised whenever the ring CARRIES mask, since
-unvisited neighbors can't be consulted) schedules a pass-2 frontier most
-batches. This probe separates that cost: identical blob count/size with
-(a) all blobs tile-INTERIOR (single pass by construction), (b) all blobs
-centered ON tile corners (maximal frontier), (c) the bench scene itself.
+With the gen-6 EXACT pass-1 flag, a pass-2 frontier is scheduled only
+when a tile's final labels can genuinely lower an already-visited
+neighbor (min key on the later-visited side of a straddle). This probe
+separates the multi-pass cost: identical blob count/size with (a) all
+blobs tile-INTERIOR (single pass by construction), (b) all blobs
+centered ON tile corners (maximal frontier), (c) the bench scene itself
+(random straddles — roughly half still need pass 2). Measured on-chip
+at gen-6 landing: interior 13.2 / bench 21.8 / corner 49.5 ms/batch
+(bench was 23.4 with the conservative ring-carries-mask flag).
 
 Tunnel discipline per CLAUDE.md: tiny-transfer sync, iters between
 syncs, ~2.5 ms/dispatch overhead included in every number.

@@ -29,23 +29,33 @@ Third-generation changes (round 2):
 - The loop exposes a convergence flag (`return_converged`) so callers can
   surface pathological non-convergence instead of silently truncating.
 
-Sixth-generation change (round 3, both kernels): pass 1's ring flag is
-EXACT instead of "ring carries mask". Pass 1 visits every occupied tile
-in raster order, so later-visited neighbors always consume this tile's
-final ring within the same pass; only already-visited neighbors (top halo
-row incl. diagonals, left halo column) can need re-scheduling, and
-whether this tile's final owned labels can lower any of their adjacent
-pixels is computable exactly against the halo snapshot. Blobs that merely
-TOUCH a tile edge no longer schedule a pass-2 neighborhood (~10 ms/batch
-on the 1080p bench scene, bench/ccl_pass_probe.py); see the in-kernel
-soundness comment in per_frame_first.
+Sixth-generation change (round 3, both kernels): ring flags are EXACT
+improvability tests instead of conservative change detectors.
+- Pass 1 (gen 6): visits every occupied tile in raster order, so
+  later-visited neighbors always consume this tile's final ring within
+  the same pass; only already-visited neighbors (top halo row incl.
+  diagonals, left halo column) can need re-scheduling, and whether this
+  tile's final owned labels can lower any of their adjacent pixels is
+  computable exactly against the halo snapshot. Blobs that merely TOUCH
+  a tile edge no longer schedule a pass-2 neighborhood.
+- Later passes (gen 6b): flag iff the final owned labels can lower some
+  mask pixel anywhere in the 1-px halo. Monotonicity makes the snapshot
+  test sound for any visit order (a later-visited neighbor's labels only
+  decrease, so non-improvability is stable), and improvability from a
+  tile can only arise when that tile's own labels decrease — which
+  re-runs the test. The pass that fixes the last stale tile therefore
+  raises no flag, and the do-nothing confirm pass disappears.
+Convergence: an empty frontier now means NO tile can lower any neighbor
+pixel; every tile is at a local fixed point and cross-tile edges admit
+no decrease — a global fixed point. Measured by bench/ccl_pass_probe.py;
+see the in-kernel soundness comments in per_frame_first/per_frame_later.
 
 Within a tile, propagation runs to a true local fixed point in VMEM via
 neighbor-min + segmented prefix-doubling scans — pure VPU work, no HBM
 traffic. Passes alternate forward/backward until the frontier empties;
-an empty frontier means no tile has a ring-changed neighbor since its
-last sweep, hence every tile is locally converged against final halos —
-a global fixed point (wavefront argument).
+an empty frontier means no tile can lower any neighbor pixel (gen-6b
+exact flags), hence every tile is locally converged and cross-tile edges
+admit no decrease — a global fixed point.
 
 Label convention inside the pass: int32 scan-key K for mask pixels,
 SENT (> any K) for background — identical to tpuva.ops.label, so results
@@ -423,19 +433,50 @@ def label_components_tiled(
                         # the aliased-buffer trick makes an XLA-level change
                         # comparison unsound, so the kernel reports changes;
                         # unchanged tiles skip the write-back entirely, and
-                        # the FLAG is raised only for ring changes (all a
-                        # neighbor's sweep can see)
+                        # the FLAG uses the exact gen-6b improvability test
+                        # (see the raw kernel's per_frame_later): flag iff
+                        # the final owned labels can LOWER some mask pixel
+                        # in the full 1-px halo — a do-nothing confirm
+                        # pass is no longer scheduled.
                         diff = (v != v0) & valid
                         owned_changed = jnp.any(
                             diff[PT:PT + TH, PL:PL + TW]
                         )
-                        ring_changed = jnp.max(
-                            jnp.where(on_ring & diff, 1, 0)
+                        owned_reg = (
+                            (hy >= PT) & (hy < PT + TH)
+                            & (hx >= PL) & (hx < PL + TW)
+                        )
+                        src = jnp.where(owned_reg, v, jnp.int32(SENT))
+                        r1 = jnp.minimum(
+                            src,
+                            jnp.minimum(
+                                _shift_fill(src, -1, 1, SENT),
+                                _shift_fill(src, 1, 1, SENT),
+                            ),
+                        )
+                        nbo = jnp.minimum(
+                            r1,
+                            jnp.minimum(
+                                _shift_fill(r1, -1, 0, SENT),
+                                _shift_fill(r1, 1, 0, SENT),
+                            ),
+                        )
+                        halo1 = (
+                            ((hy == PT - 1) | (hy == PT + TH))
+                            & (hx >= PL - 1) & (hx <= PL + TW)
+                        ) | (
+                            ((hx == PL - 1) | (hx == PL + TW))
+                            & (hy >= PT) & (hy < PT + TH)
+                        )
+                        improvable = (
+                            halo1
+                            & (v0 <= jnp.int32(sent_base))
+                            & (nbo < v0)
                         )
 
                         @pl.when(owned_changed)
                         def _():
-                            @pl.when(ring_changed > 0)
+                            @pl.when(jnp.any(improvable))
                             def _():
                                 flag_ref[0, 0, 0] = 1
                             # halo cols of `v` hold masked-out SENT; write
@@ -1008,11 +1049,12 @@ def label_components_tiled_raw(
                             #   labels only decrease, so a neighbor not
                             #   improvable now can never become
                             #   improvable by this tile's unchanged
-                            #   ring later. Later passes keep their
-                            #   conservative ring-CHANGED flag, which
-                            #   is a superset of "can improve" — the
-                            #   mixed scheme stays a frontier superset
-                            #   (_frontier_rows argument unchanged).
+                            #   ring later. Later passes use the same
+                            #   improvability test over the FULL halo
+                            #   (gen 6b, see per_frame_later) — flag
+                            #   semantics stay "some neighbor may need
+                            #   re-sweeping" (_frontier_rows argument
+                            #   unchanged).
                             src = jnp.where(owned, v, jnp.int32(SENT))
                             r1 = jnp.minimum(
                                 src,
@@ -1066,13 +1108,56 @@ def label_components_tiled_raw(
                             owned_changed = jnp.any(
                                 diff[PT:PT + TH, PLW:PLW + TW]
                             )
-                            ring_changed = jnp.max(
-                                jnp.where(on_ring & diff, 1, 0)
+                            # EXACT later-pass flag (gen 6b) — replaces
+                            # the conservative ring-CHANGED flag, which
+                            # scheduled a do-nothing confirm pass after
+                            # every productive pass. Flag iff the final
+                            # owned labels can LOWER some mask pixel in
+                            # the full 1-px halo (all 4 sides + 4
+                            # corners). Sound for any visit order:
+                            # - An earlier-visited (or not-in-frontier)
+                            #   neighbor's halo snapshot is its current
+                            #   value — the test is exact.
+                            # - A later-visited-this-pass neighbor's
+                            #   labels only DECREASE after the snapshot,
+                            #   so "min(owned nbrs) >= v0(q)" can only
+                            #   get stronger; and improvability from
+                            #   this tile can only ARISE when this
+                            #   tile's own labels decrease, which
+                            #   re-runs this test (owned_changed).
+                            # - Convergence: an empty frontier now means
+                            #   no tile can lower any neighbor pixel —
+                            #   every tile is at a local fixed point
+                            #   and cross-tile edges admit no decrease:
+                            #   a global fixed point.
+                            src = jnp.where(owned, v, jnp.int32(SENT))
+                            r1 = jnp.minimum(
+                                src,
+                                jnp.minimum(
+                                    _shift_fill(src, -1, 1, SENT),
+                                    _shift_fill(src, 1, 1, SENT),
+                                ),
+                            )
+                            nbo = jnp.minimum(
+                                r1,
+                                jnp.minimum(
+                                    _shift_fill(r1, -1, 0, SENT),
+                                    _shift_fill(r1, 1, 0, SENT),
+                                ),
+                            )
+                            halo1 = (
+                                (top | bot)
+                                & (hx >= PLW - 1) & (hx <= PLW + TW)
+                            ) | ((lef | rig) & mid_y)
+                            improvable = (
+                                halo1
+                                & (v0 <= jnp.int32(sent_base))
+                                & (nbo < v0)
                             )
 
                             @pl.when(owned_changed)
                             def _(f=f, t=t):
-                                @pl.when(ring_changed > 0)
+                                @pl.when(jnp.any(improvable))
                                 def _():
                                     flag_ref[0, 0, 0] = 1
                                 tilebuf[f] = v
