@@ -129,8 +129,12 @@ def bench_tpu(clip, plate, cfg, warmup_batches=2, max_components=32,
 
 # Best uncontended refimpl throughput observed on this host (see module
 # docstring). Floors the vs_baseline denominator so host contention during
-# the live measurement can never inflate the reported speedup.
-PINNED_CPU_FPS = 34.25
+# the live measurement can never inflate the reported speedup. Override
+# with TPUVA_PINNED_CPU_FPS on a different host (e.g. 0 to trust the live
+# measurement only) instead of editing code.
+import os as _os
+
+PINNED_CPU_FPS = float(_os.environ.get("TPUVA_PINNED_CPU_FPS", "34.25"))
 
 
 def bench_cpu(clip, plate, cfg, n_frames=16, trials=3):

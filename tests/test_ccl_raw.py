@@ -430,8 +430,7 @@ def test_exact_pass1_flag_right_to_left_improvement():
     # its earlier-visited top neighbor in pass 2
     mask[1, 50:64, 100:103] = 255   # left arm (top tile, exits bottom)
     mask[1, 50:64, 200:203] = 255   # right arm
-    mask[1, 63:64, 100:203] = 255   # bridge row inside the top tile? no:
-    mask[1, 63, 100:203] = 255      # bottom edge row of the top tile
+    mask[1, 63, 100:203] = 255      # bridge: bottom edge row of the top tile
     ref = run_ref(mask)
     new, conv = run_raw(mask, 64, 512)
     assert conv

@@ -114,8 +114,14 @@ def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray
     """cv2.GaussianBlur(x, (ksize, ksize), sigma) on float32 input.
 
     x: (..., H, W) float32. Row (W) pass first, then column (H).
-    Binomial kernels (sigma<=0, ksize<=7) run as an exact box cascade
-    (_box_cascade_axis); others as the cv2-ordered weighted correlation.
+    Binomial kernels (sigma<=0, ksize in {3, 5} — exactly what
+    is_binomial_blur gates; cv2's k=7 table {2,7,14,18}/64 is NOT
+    binomial) run as an exact box cascade (_box_cascade_axis); others as
+    the cv2-ordered weighted correlation. The cascade is bit-exact (and
+    bit-identical to the Pallas twin) only for INTEGER-valued inputs
+    (u8-cast frames); for non-integer float inputs (e.g. chained after a
+    float-producing filter) it differs from the cv2-ordered weighted
+    correlation by ulps — within the pinned float-associativity contract.
     """
     if ksize == 1:
         return x
