@@ -196,6 +196,30 @@ def test_filter_resize():
     assert np.abs(got - ref).max() <= 2.0
 
 
+def test_filter_resize_uint8_golden():
+    """uint8 resize pinned vs cv2's fixed-point INTER_LINEAR: <=1 LSB
+    across downscale, upscale, fractional, and anisotropic factors
+    (cv2 uses 11-bit fixed-point coefficients; our float32 resample +
+    round differs only where its truncation crosses a rounding boundary).
+    Quantified-bound counterpart of the warp_affine <=2 LSB golden."""
+    rng = np.random.default_rng(7)
+    for (h0, w0) in [(48, 64), (37, 53)]:
+        clip = rng.integers(0, 256, (3, h0, w0), np.uint8)
+        for (w, h) in [(32, 24), (128, 96), (17, 13), (100, 75), (w0, h0)]:
+            v = FilterResize(VideoMemory(clip), (w, h))
+            got = v[1]
+            assert got.dtype == np.uint8
+            ref = cv2.resize(clip[1], (w, h), interpolation=cv2.INTER_LINEAR)
+            assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1, (
+                (h0, w0, w, h)
+            )
+    # color frames resize per channel identically
+    color = rng.integers(0, 256, (2, 40, 56, 3), np.uint8)
+    v = FilterResize(VideoMemory(color), (28, 20))
+    ref = cv2.resize(color[0], (28, 20), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(v[0].astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_filter_normalize_rotate_flip():
     clip = gray_clip()
     v = FilterNormalize(VideoMemory(clip), 0, 255)

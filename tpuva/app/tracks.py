@@ -149,16 +149,21 @@ class TrackCollection:
                ) -> "TrackCollection":
         """Join tracks across detection gaps (reference pass-2 "track
         stitching"): track B is appended to track A when B starts within
-        `max_gap` frames after A ends and within `max_dist` px of A's last
-        position. Greedy nearest-candidate matching in track-start order;
-        merged tracks keep A's id.
+        `max_gap` frames after A ends (strictly after: time-overlapping
+        tracks are distinct objects and never merge) and within `max_dist`
+        px of A's last position. Greedy in track-start order; among
+        multiple candidate predecessors the match is deterministic
+        cheapest-first: smallest distance, ties broken by smaller gap,
+        then earlier start, then lower id. Merged tracks keep the
+        predecessor's id, and its extended endpoint is what later tracks
+        stitch against (chains A<-B<-C collapse to one track).
         """
         tracks = sorted(self.tracks, key=lambda t: (t.start, t.id))
         merged: list[Track] = []
         open_tracks: list[Track] = []
         for t in tracks:
             best = None
-            best_d = max_dist
+            best_key = None
             for o in open_tracks:
                 gap = t.start - o.end
                 if 0 < gap <= max_gap:
@@ -168,8 +173,9 @@ class TrackCollection:
                             - np.array(o.last_position)
                         )
                     )
-                    if d <= best_d:
-                        best, best_d = o, d
+                    key = (d, gap, o.start, o.id)
+                    if d <= max_dist and (best_key is None or key < best_key):
+                        best, best_key = o, key
             if best is not None:
                 best.frames = np.concatenate([best.frames, t.frames])
                 best.positions = np.concatenate([best.positions, t.positions])

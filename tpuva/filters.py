@@ -203,7 +203,12 @@ class FilterMonochrome(FilterBase):
 
 class FilterResize(FilterBase):
     """Bilinear resize to (width, height) (reference: FilterResize;
-    cv2.resize INTER_LINEAR pixel-center convention)."""
+    cv2.resize INTER_LINEAR pixel-center convention).
+
+    uint8 exactness: cv2's uint8 INTER_LINEAR path is fixed-point
+    (11-bit coefficients); this float32 resample + round-half-away is
+    within <=1 LSB of it across up/down/fractional scales (pinned by
+    tests/test_io_filters.py::test_filter_resize_uint8_golden)."""
 
     def __init__(self, source, size):
         self.target = (int(size[0]), int(size[1]))
