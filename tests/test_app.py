@@ -187,6 +187,29 @@ def test_smoothing_analytic_ground_truth():
     assert resid.std() < noise[w:-w].std() * 0.7
 
 
+def test_cli_on_encoded_file(tmp_path):
+    """Installed CLI (tpuva/cli.py, `python -m tpuva`): argparse ->
+    load_any_video -> TrackingProject on a real encoded file."""
+    from tpuva.cli import main
+    from tpuva.io import VideoFileWriter
+
+    clip, alive, truth, plate = multi_blob_clip(
+        h=96, w=128, frames=32, n_blobs=2, radius=8, births_deaths=False
+    )
+    path = str(tmp_path / "in.avi")
+    with VideoFileWriter(path, fps=25.0) as w:
+        for f in clip:
+            w.write_frame(f)
+    out = str(tmp_path / "out")
+    rc = main([path, out, "--threshold", "40", "--min-area", "20",
+               "--alpha", "0"])
+    assert rc == 0
+    with open(os.path.join(out, "report.json")) as fh:
+        report = json.load(fh)
+    assert report["n_tracks"] >= 2
+    assert os.path.exists(os.path.join(out, "pass2_tracks.csv"))
+
+
 def test_tracking_project_end_to_end(tmp_path):
     clip, alive, truth, plate = multi_blob_clip(
         h=120, w=160, frames=40, n_blobs=2, radius=8, births_deaths=False
