@@ -175,3 +175,86 @@ def test_compilation_cache_dir_segregation():
     finally:
         enable_compilation_cache()
         assert jax.config.jax_compilation_cache_dir.endswith(f"cpu-{fp}")
+
+
+def test_transfer_guard_blocks_implicit_hot_loop_transfer():
+    """SURVEY.md §5.8 discipline: the streamed dispatch loop runs under
+    jax.transfer_guard('disallow'); an accidental implicit host->device
+    transfer sneaking into the hot loop must raise, not silently
+    serialize dispatch."""
+    import jax
+    import pytest
+
+    from tpuva.graph.streaming import StreamingPipeline
+
+    class Leaky(StreamingPipeline):
+        def _step(self, cfg, carry, dev_batch):
+            # the regression class the guard exists for: a host ndarray
+            # operand entering a jitted call inside the hot loop
+            jax.jit(lambda a: a + 1)(np.zeros(4, np.float32))
+            return super()._step(cfg, carry, dev_batch)
+
+    clip, _, plate = moving_disk_clip(h=48, w=64, frames=16, radius=6)
+    with pytest.raises(Exception, match="Disallowed host-to-device"):
+        Leaky(CFG).run(VideoMemory(clip), background0=plate)
+
+
+def test_transfer_guard_escape_hatch(monkeypatch):
+    """TPUVA_NO_TRANSFER_GUARD=1 disables the guard (diagnostic mode) —
+    which also proves the guard is what raises in the test above."""
+    import jax
+
+    from tpuva.graph.streaming import StreamingPipeline
+
+    class Leaky(StreamingPipeline):
+        def _step(self, cfg, carry, dev_batch):
+            jax.jit(lambda a: a + 1)(np.zeros(4, np.float32))
+            return super()._step(cfg, carry, dev_batch)
+
+    monkeypatch.setenv("TPUVA_NO_TRANSFER_GUARD", "1")
+    clip, _, plate = moving_disk_clip(h=48, w=64, frames=16, radius=6)
+    rows = Leaky(CFG).run(VideoMemory(clip), background0=plate)
+    assert len(rows) == 16
+
+
+def test_guarded_streaming_with_checkpoints(tmp_path):
+    """The production path (checkpoints + async drainer) is clean under
+    the guard: every intended crossing is explicit."""
+    from tpuva.graph.streaming import StreamingPipeline
+
+    clip, _, plate = moving_disk_clip(h=48, w=64, frames=32, radius=6)
+    sp = StreamingPipeline(
+        CFG, checkpoint_path=str(tmp_path / "ck.npz"), checkpoint_every=2
+    )
+    rows = sp.run(VideoMemory(clip), background0=plate)
+    assert len(rows) == 32
+
+
+def test_debug_nans_dev_flag():
+    """TPUVA_DEBUG_NANS=1 (SURVEY.md §5.2) wires jax_debug_nans at import:
+    the first NaN-producing op raises at its source. Subprocess because
+    the flag is applied at package import."""
+    import subprocess
+    import sys
+    import os as _os
+
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "import tpuva\n"
+        "assert jax.config.jax_debug_nans\n"
+        "import jax.numpy as jnp\n"
+        "try:\n"
+        "    jax.jit(lambda x: x / x)(jnp.zeros(3)).block_until_ready()\n"
+        "except FloatingPointError:\n"
+        "    print('NAN_RAISED')\n"
+    )
+    env = dict(_os.environ, TPUVA_DEBUG_NANS="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=180, env=env, cwd=_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))),
+    )
+    assert "NAN_RAISED" in out.stdout, out.stderr[-800:]

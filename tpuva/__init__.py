@@ -31,3 +31,6 @@ from tpuva.graph.config import (  # noqa: F401
     SegmentConfig,
     TrackConfig,
 )
+from tpuva.utils import apply_debug_flags as _apply_debug_flags
+
+_apply_debug_flags()  # TPUVA_DEBUG_NANS=1 dev guard (SURVEY.md §5.2)

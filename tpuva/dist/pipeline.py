@@ -42,7 +42,7 @@ from tpuva.graph.streaming import AsyncRowDrainer, RowLog
 from tpuva.io.base import VideoBase
 from tpuva.io.staging import BatchStager
 from tpuva.track.table import TrackState
-from tpuva.utils import BatchLogger
+from tpuva.utils import BatchLogger, hot_loop_transfer_guard
 
 
 def save_multistream_checkpoint(path: str, carry: PipelineCarry,
@@ -62,15 +62,18 @@ def save_multistream_checkpoint(path: str, carry: PipelineCarry,
         for s, rows in enumerate(rows_state):
             for r in rows:
                 flat.append((s,) + tuple(r))
+    # EXPLICIT device_get: checkpointing is a designated host<->device
+    # boundary and must stay legal inside hot_loop_transfer_guard scopes
+    # (also gathers the mesh-sharded carry in one fetch per field)
     payload = {
-        "bg": np.asarray(carry.bg),
-        "bg_valid": np.asarray(carry.bg_valid),
-        "frame_idx": np.asarray(carry.frame_idx),
-        "track_pos": np.asarray(carry.track.pos),
-        "track_tid": np.asarray(carry.track.tid),
-        "track_missed": np.asarray(carry.track.missed),
-        "track_active": np.asarray(carry.track.active),
-        "track_next_id": np.asarray(carry.track.next_id),
+        "bg": np.asarray(jax.device_get(carry.bg)),
+        "bg_valid": np.asarray(jax.device_get(carry.bg_valid)),
+        "frame_idx": np.asarray(jax.device_get(carry.frame_idx)),
+        "track_pos": np.asarray(jax.device_get(carry.track.pos)),
+        "track_tid": np.asarray(jax.device_get(carry.track.tid)),
+        "track_missed": np.asarray(jax.device_get(carry.track.missed)),
+        "track_active": np.asarray(jax.device_get(carry.track.active)),
+        "track_next_id": np.asarray(jax.device_get(carry.track.next_id)),
         "config_json": np.frombuffer(cfg.to_json().encode(), dtype=np.uint8),
     }
     if flat is not None:
@@ -200,6 +203,17 @@ class MultiStreamPipeline:
             shape, NamedSharding(self.mesh, P("stream")), shards
         )
 
+    def _place_carry(self, carry):
+        """EXPLICITLY place the stacked carry onto the ('stream',) mesh.
+
+        Without this, the first mesh step reshards it implicitly — a
+        hidden device-to-device transfer inside the hot loop (flagged by
+        hot_loop_transfer_guard, which is how it was found)."""
+        if self.mesh is None:
+            return carry
+        sh = NamedSharding(self.mesh, P("stream"))
+        return jax.tree.map(lambda x: jax.device_put(x, sh), carry)
+
     # ------------------------------------------------------------------ run
     def run(
         self,
@@ -261,6 +275,7 @@ class MultiStreamPipeline:
             return rows_by_stream
 
         carry = init_multistream_carry(cfg, H, W, S, background0=background0)
+        carry = self._place_carry(carry)
         start_frame = 0
         if (
             resume
@@ -270,6 +285,7 @@ class MultiStreamPipeline:
             carry, saved = load_multistream_checkpoint(
                 self.checkpoint_path, cfg, S
             )
+            carry = self._place_carry(carry)
             if isinstance(saved, np.ndarray) and saved.ndim == 1:
                 if not use_log:
                     raise ValueError(
@@ -331,36 +347,41 @@ class MultiStreamPipeline:
         steps = 0
         last_n = cfg.batch
         try:
-            while True:
-                items = []
-                done = 0
-                for it in iters:
-                    try:
-                        items.append(next(it))
-                    except StopIteration:
-                        done += 1
-                if done:
-                    assert done == S, "streams finished out of lock-step"
-                    break
-                ns = {n for n, _ in items}
-                assert len(ns) == 1, f"unequal tail batches: {ns}"
-                n = ns.pop()
-                frames = self._assemble([b for _, b in items])
-                carry, out = self._fn(carry, frames)
-                drainer.submit(out, n)
-                last_n = n
-                steps += 1
-                self.logger.log(n * S, queue=max(st.depth for st in stagers))
-                if (
-                    self.checkpoint_path
-                    and steps % self.checkpoint_every == 0
-                ):
-                    drainer.flush()
-                    jax.block_until_ready(carry.bg)
-                    if use_log:
-                        for rl in rlogs:
-                            rl.flush()
-                    self._save_checkpoint(carry, rows_state(), cfg)
+            # transfer_guard discipline (SURVEY.md §5.8): see
+            # StreamingPipeline.run — all intended crossings are explicit
+            with hot_loop_transfer_guard():
+                while True:
+                    items = []
+                    done = 0
+                    for it in iters:
+                        try:
+                            items.append(next(it))
+                        except StopIteration:
+                            done += 1
+                    if done:
+                        assert done == S, "streams finished out of lock-step"
+                        break
+                    ns = {n for n, _ in items}
+                    assert len(ns) == 1, f"unequal tail batches: {ns}"
+                    n = ns.pop()
+                    frames = self._assemble([b for _, b in items])
+                    carry, out = self._fn(carry, frames)
+                    drainer.submit(out, n)
+                    last_n = n
+                    steps += 1
+                    self.logger.log(
+                        n * S, queue=max(st.depth for st in stagers)
+                    )
+                    if (
+                        self.checkpoint_path
+                        and steps % self.checkpoint_every == 0
+                    ):
+                        drainer.flush()
+                        jax.block_until_ready(carry.bg)
+                        if use_log:
+                            for rl in rlogs:
+                                rl.flush()
+                        self._save_checkpoint(carry, rows_state(), cfg)
             drainer.close()
             # same padded-tail rule as StreamingPipeline: never persist a
             # carry perturbed by pad frames

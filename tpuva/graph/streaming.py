@@ -34,7 +34,7 @@ from tpuva.graph.pipeline import (
 from tpuva.io.base import VideoBase
 from tpuva.io.staging import BatchStager
 from tpuva.track.table import TrackState
-from tpuva.utils import BatchLogger
+from tpuva.utils import BatchLogger, hot_loop_transfer_guard
 
 
 class RowLog:
@@ -227,7 +227,8 @@ class AsyncRowDrainer:
         F = int(np.prod(bshape[:-1]))
         ns = [n for n, _ in grp]
         t0 = time.perf_counter()
-        buf = np.asarray(jnp.stack([p for _, p in grp]))  # ONE round trip
+        # ONE round trip, via EXPLICIT device_get (transfer_guard-clean)
+        buf = np.asarray(jax.device_get(jnp.stack([p for _, p in grp])))
         t1 = time.perf_counter()
         self.stats["fetch_s"] += t1 - t0
         self.stats["groups"] += 1
@@ -323,15 +324,17 @@ def save_checkpoint(path: str, carry: PipelineCarry, rows,
     rows: list of tuples or (k, 5) ndarray — embedded in the snapshot;
     or an int — the durable row COUNT of an external RowLog (the
     append-only mode; the snapshot then stays O(carry))."""
+    # EXPLICIT device_get: checkpointing is a designated host<->device
+    # boundary and must stay legal inside hot_loop_transfer_guard scopes
     payload = {
-        "bg": np.asarray(carry.bg),
-        "bg_valid": np.asarray(carry.bg_valid),
-        "frame_idx": np.asarray(carry.frame_idx),
-        "track_pos": np.asarray(carry.track.pos),
-        "track_tid": np.asarray(carry.track.tid),
-        "track_missed": np.asarray(carry.track.missed),
-        "track_active": np.asarray(carry.track.active),
-        "track_next_id": np.asarray(carry.track.next_id),
+        "bg": np.asarray(jax.device_get(carry.bg)),
+        "bg_valid": np.asarray(jax.device_get(carry.bg_valid)),
+        "frame_idx": np.asarray(jax.device_get(carry.frame_idx)),
+        "track_pos": np.asarray(jax.device_get(carry.track.pos)),
+        "track_tid": np.asarray(jax.device_get(carry.track.tid)),
+        "track_missed": np.asarray(jax.device_get(carry.track.missed)),
+        "track_active": np.asarray(jax.device_get(carry.track.active)),
+        "track_next_id": np.asarray(jax.device_get(carry.track.next_id)),
         "config_json": np.frombuffer(
             cfg.to_json().encode(), dtype=np.uint8
         ),
@@ -561,26 +564,32 @@ class StreamingPipeline:
         batches_done = 0
         last_n = cfg.batch
         try:
-            for n, dev_batch in stager:
-                carry, out = self._step(cfg, carry, dev_batch)
-                drainer.submit(out, n)
-                last_n = n
-                batches_done += 1
-                self.logger.log(
-                    n, queue=stager.depth,
-                    tracks=self.active_tracks,
-                )
-                if (
-                    self.checkpoint_path
-                    and batches_done % self.checkpoint_every == 0
-                ):
-                    drainer.flush()
-                    jax.block_until_ready(carry.bg)
-                    if rlog is not None:
-                        rlog.flush()
-                    save_checkpoint(
-                        self.checkpoint_path, carry, rows_state(), cfg
+            # transfer_guard discipline (SURVEY.md §5.8): inside the hot
+            # loop every host<->device crossing is explicit (device_put in
+            # the stager, device_get in the drainer and checkpoints); an
+            # accidental implicit transfer raises instead of silently
+            # stalling dispatch.
+            with hot_loop_transfer_guard():
+                for n, dev_batch in stager:
+                    carry, out = self._step(cfg, carry, dev_batch)
+                    drainer.submit(out, n)
+                    last_n = n
+                    batches_done += 1
+                    self.logger.log(
+                        n, queue=stager.depth,
+                        tracks=self.active_tracks,
                     )
+                    if (
+                        self.checkpoint_path
+                        and batches_done % self.checkpoint_every == 0
+                    ):
+                        drainer.flush()
+                        jax.block_until_ready(carry.bg)
+                        if rlog is not None:
+                            rlog.flush()
+                        save_checkpoint(
+                            self.checkpoint_path, carry, rows_state(), cfg
+                        )
             drainer.close()
             # a padded tail batch perturbs the carry past the stream end
             # (repeated pad frames enter the background model / tracker):

@@ -82,6 +82,38 @@ def enable_compilation_cache(
         pass
 
 
+def hot_loop_transfer_guard():
+    """`jax.transfer_guard("disallow")` for the streamed dispatch loops
+    (SURVEY.md §5.8 host<->device discipline): every intended crossing is
+    explicit — `device_put` in BatchStager, `device_get` in the row
+    drainer and checkpoint snapshots — so an accidental implicit sync
+    transfer creeping into the hot loop raises immediately instead of
+    silently serializing dispatch (a ~28 ms round trip per batch on this
+    box's tunnel). Escape hatch for diagnosis: TPUVA_NO_TRANSFER_GUARD=1.
+
+    The guard is thread-local: it protects the dispatch thread. The
+    drainer thread fetches via explicit `jax.device_get` anyway."""
+    import contextlib
+
+    import jax
+
+    if os.environ.get("TPUVA_NO_TRANSFER_GUARD"):
+        return contextlib.nullcontext()
+    return jax.transfer_guard("disallow")
+
+
+def apply_debug_flags() -> None:
+    """Dev-mode numerics guard (SURVEY.md §5.2): TPUVA_DEBUG_NANS=1 turns
+    on jax_debug_nans so the first NaN-producing op raises at its source
+    (jit-level re-run in op-by-op mode) instead of surfacing as corrupt
+    trajectories downstream. Config-only — never initializes a backend
+    (import purity, see tests/test_aux.py). Call at package import."""
+    if os.environ.get("TPUVA_DEBUG_NANS"):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+
 def ensure_directory_exists(path: str) -> str:
     """Create the directory (and parents) if missing; returns the path."""
     if path and not os.path.isdir(path):
