@@ -296,3 +296,74 @@ def test_empty_batch_returns_empty():
     )
     assert mp.shape[0] == 0 and occ.shape[0] == 0
     assert mp.shape[1] % 2 == 0 and mp.shape[2] % 128 == 0
+
+
+def test_fused_raw_window_path_matches_jnp():
+    """(192, 1280) triggers the fused kernel's raw-window mode (H % 8 ==
+    0, W % 128 == 0, window fits: no pre-pad, aligned over-read + VMEM
+    rolls + edge-tile reflect fixes). gh == gw == 2, so all four border
+    fix branches AND interior repositioning run; blur+open+close give a
+    multi-pixel halo that crosses tile edges. Must stay bit-identical to
+    the jnp path (which golden tests pin to cv2)."""
+    clip, _, plate = moving_disk_clip(
+        h=192, w=1280, frames=12, radius=9, noise_sigma=3.0, seed=7
+    )
+    cfg = PipelineConfig(
+        background=BackgroundConfig(alpha=0.06),
+        blur=BlurConfig(ksize=5, sigma=0.0),
+        morph_open=MorphConfig(ksize=3, shape="rect"),
+        morph_close=MorphConfig(ksize=3, shape="ellipse"),
+        segment=SegmentConfig(threshold=32.0, min_area=15, max_blobs=4),
+        track=TrackConfig(max_dist=80.0, death_patience=4, max_tracks=8),
+        batch=6,
+    )
+    # confirm the gate is actually open for this geometry (else the test
+    # silently degrades to re-testing the pre-pad fallback)
+    from tpuva.ops.pallas.fused_segment import _ceil_to, fused_tile
+
+    P = 5 // 2 + 3 // 2 * 2 + 3 // 2 * 2  # blur rb + open + close reach
+    TH, TW, _, _ = fused_tile(192, 1280)
+    SH = _ceil_to(TH + 2 * P, 8)
+    SW = _ceil_to(TW + 2 * P, 128)
+    assert 192 >= SH + _ceil_to(P, 32) and 1280 >= SW + _ceil_to(P, 128)
+
+    r_jnp, c_jnp, m_jnp = process_clip(
+        clip, cfg, background0=plate, return_masks=True
+    )
+    r_pls, c_pls, m_pls = process_clip(
+        clip, cfg, background0=plate, return_masks=True, use_pallas=True
+    )
+    np.testing.assert_array_equal(m_pls, m_jnp)
+    assert r_pls == r_jnp
+    np.testing.assert_array_equal(np.asarray(c_pls.bg), np.asarray(c_jnp.bg))
+
+
+def test_fused_raw_window_padded_occ():
+    """Raw-window mode with padded_occ=True: the uncropped padded mask
+    must equal the zero-padded cropped mask and occ128 must match a
+    reduction of it (the CCL handoff contract), same as the pre-pad
+    path's test_padded_occ_output_matches_cropped."""
+    import jax.numpy as jnp
+
+    from tpuva.ops.pallas.fused_segment import fused_segment
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (6, 192, 1280), np.uint8)
+    bg0 = rng.uniform(0, 255, (192, 1280)).astype(np.float32)
+    kw = dict(
+        alpha=0.08, threshold=28.0, blur_ksize=5, blur_sigma=0.0,
+        open_ksize=3, close_ksize=3,
+    )
+    m, bg = fused_segment(jnp.asarray(frames), jnp.asarray(bg0), **kw)
+    mp, bgp, occ = fused_segment(
+        jnp.asarray(frames), jnp.asarray(bg0), padded_occ=True, **kw
+    )
+    Hp, Wp = mp.shape[1:]
+    want = np.zeros((6, Hp, Wp), np.uint8)
+    want[:, :192, :1280] = np.asarray(m)
+    np.testing.assert_array_equal(np.asarray(mp), want)
+    np.testing.assert_array_equal(np.asarray(bgp), np.asarray(bg))
+    occ_want = (
+        want.reshape(6, Hp // 2, 2, Wp // 128, 128).max(axis=(2, 4)) > 0
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(occ), occ_want)

@@ -11,8 +11,11 @@ batch, carrying the background-model tile in VMEM the whole time:
 
 Correctness contract (same as the jnp ops, golden-tested):
 - Gaussian blur: cv2 kernels (tpuva.ops.gaussian_kernel_1d), REFLECT_101
-  borders — realized by pre-padding the batch once in XLA and computing on
-  reflected halo pixels.
+  borders — realized by computing on reflected halo pixels. On production
+  shapes the kernel builds that halo itself (raw-window mode: aligned
+  over-read of the raw frames + two VMEM rolls + edge-tile reflect
+  selects — zero pad traffic); small/unaligned inputs fall back to a
+  one-time XLA pre-pad of the batch. Both paths are bit-identical.
 - median (k=3 only): cv2.medianBlur BORDER_REPLICATE semantics — shifted
   reads are clamped to the image rectangle via global-coordinate selects
   (replicate = read at clamped coordinate), then the exact 19-op
@@ -192,18 +195,51 @@ def fused_segment(
     PRh = SH - TH - P  # bottom slack (>= P)
     PRw = SW - TW - P
 
-    # one-time XLA pre-pad: REFLECT_101 halo P, then edge-pad to the tile
-    # grid cover + slack (the cover/slack region is never emitted)
-    if P:
-        fp = jnp.pad(frames, ((0, 0), (P, P), (P, P)), mode="reflect")
-        bp = jnp.pad(bg0, P, mode="reflect")
-    else:
-        fp, bp = frames, bg0
-    fp = jnp.pad(
-        fp,
-        ((0, 0), (0, Hp + PRh - H - P), (0, Wp + PRw - W - P)),
-        mode="edge",
+    # Input staging. XLA lowers the u8 batch pre-pad to an elementwise
+    # copy at only ~84 GB/s (9.95 ms/batch-128 @1080p — more than the
+    # entire VMEM-resident kernel it feeds, measured round 4), and
+    # HBM->HBM DMA can't land the interior at the unaligned (P, P) offset
+    # the padded layout needs. So on production shapes the kernel skips
+    # the pre-pad entirely (raw-window mode): each tile DMAs an ALIGNED
+    # over-sized window straight from the raw frame batch, repositions it
+    # in VMEM with two dynamic rolls, and edge tiles rebuild the
+    # REFLECT_101/edge halo with a handful of masked row/column selects —
+    # bit-identical to the padded path (tests/test_pallas_fused.py) with
+    # zero pad traffic.
+    #
+    # Window geometry: read rows [r0, r0 + RL) with r0 32-aligned (u8
+    # sublane packing) and RL static; RL is stretched from SH + PRE so
+    # that H - RL is 32-aligned, making the bottom clip land the window
+    # exactly at the image edge. Columns likewise with 128 alignment.
+    PRE, CPRE = _ceil_to(P, 32), _ceil_to(P, 128)
+    raw_window = (
+        P >= 1
+        and H % 8 == 0 and W % 128 == 0
+        and H >= SH + PRE and W >= SW + CPRE
     )
+    if raw_window:
+        RMAX = (H - SH - PRE) // 32 * 32   # max row window start
+        RL = H - RMAX                      # static row window length
+        CMAX = (W - SW - CPRE) // 128 * 128
+        CL = W - CMAX
+        fp = frames
+    else:
+        RL = CL = RMAX = CMAX = 0
+        # one-time XLA pre-pad fallback (small/unaligned inputs):
+        # REFLECT_101 halo P, then edge-pad to the tile grid cover +
+        # slack (the cover/slack region is never emitted)
+        if P:
+            fp = jnp.pad(frames, ((0, 0), (P, P), (P, P)), mode="reflect")
+        else:
+            fp = frames
+        fp = jnp.pad(
+            fp,
+            ((0, 0), (0, Hp + PRh - H - P), (0, Wp + PRw - W - P)),
+            mode="edge",
+        )
+    # the background tile is (H, W) f32 padded ONCE per call — not worth
+    # a raw-window path (<4% of the batch's pad traffic was bg)
+    bp = jnp.pad(bg0, P, mode="reflect") if P else bg0
     bp = jnp.pad(
         bp, ((0, Hp + PRh - H - P), (0, Wp + PRw - W - P)), mode="edge"
     )
@@ -221,16 +257,27 @@ def fused_segment(
     thr = float(threshold)
 
     def kernel(fp_ref, bp_ref, *refs):
+        refs = list(refs)
         if padded_occ:
-            (mask_ref, bgout_ref, occ_ref,
-             ftile, bgt, mbuf, sem, bsem, wsem) = refs
+            mask_ref, bgout_ref, occ_ref = refs[:3]
+            refs = refs[3:]
         else:
-            (mask_ref, bgout_ref,
-             ftile, bgt, mbuf, sem, bsem, wsem) = refs
+            mask_ref, bgout_ref = refs[:2]
+            refs = refs[2:]
+        if raw_window:
+            (ftile, fbuf, bgt, mbuf, sem, bsem, wsem) = refs
+        else:
+            (ftile, bgt, mbuf, sem, bsem, wsem) = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         y0 = i * TH
         x0 = j * TW
+        if raw_window:
+            # aligned raw-frame window start + VMEM reposition amounts
+            r0 = 32 * jnp.clip((y0 - PRE) // 32, 0, RMAX // 32)
+            c0 = 128 * jnp.clip((x0 - CPRE) // 128, 0, CMAX // 128)
+            ar = (P - y0 + r0) % RL
+            ac = (P - x0 + c0) % CL
 
         # in-image predicate over the OWNED block: out-of-image mask
         # pixels are forced to 0 so the uncropped padded mask is exactly
@@ -274,6 +321,12 @@ def fused_segment(
         bdma.wait()
 
         def frame_dma(slot, t):
+            if raw_window:
+                return pltpu.make_async_copy(
+                    fp_ref.at[t, pl.ds(r0, RL), pl.ds(c0, CL)],
+                    ftile.at[slot],
+                    sem.at[slot],
+                )
             return pltpu.make_async_copy(
                 fp_ref.at[t, pl.ds(y0, SH), pl.ds(x0, SW)],
                 ftile.at[slot],
@@ -281,6 +334,67 @@ def fused_segment(
             )
 
         frame_dma(0, 0).start()
+
+        def fix_borders():
+            """Rebuild the REFLECT_101/edge halo in-place on fbuf for
+            tiles touching an image border (column fixes first, then row
+            fixes, so corner pixels read already-fixed columns — same
+            separable order as jnp.pad). Sources are interior positions,
+            targets are halo positions, so sequential selects never read
+            a target. Rows/cols beyond reach P of any in-image owned
+            pixel are don't-care for the owned outputs (halo math, module
+            docstring) but are still set by the trailing edge select, so
+            the spurious-any_fg rate matches the padded path."""
+            iot1 = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 1)
+            iot0 = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 0)
+
+            def col_of(g, s):
+                return jnp.broadcast_to(g[:, s:s + 1], (SH, SW))
+
+            def row_of(g, s):
+                return jnp.broadcast_to(g[s:s + 1, :], (SH, SW))
+
+            @pl.when(j == 0)
+            def _():
+                g = fbuf[:]
+                for s in range(P):  # gx = s - P < 0 -> source P - s
+                    g = jnp.where(iot1 == s, col_of(g, 2 * P - s), g)
+                fbuf[:] = g
+
+            @pl.when(j == gw - 1)
+            def _():
+                g = fbuf[:]
+                xs = (gw - 1) * TW
+                for gxv in range(W, min(W + P, xs + SW - P)):
+                    s = gxv - xs + P  # reflect: source 2W - 2 - gxv
+                    g = jnp.where(
+                        iot1 == s, col_of(g, 2 * W - 2 - gxv - xs + P), g
+                    )
+                s0 = W + P - xs + P  # edge run: source W - 1 - P
+                if s0 < SW:
+                    g = jnp.where(iot1 >= s0, col_of(g, W - 1 - xs), g)
+                fbuf[:] = g
+
+            @pl.when(i == 0)
+            def _():
+                g = fbuf[:]
+                for s in range(P):  # gy = s - P < 0 -> source P - s
+                    g = jnp.where(iot0 == s, row_of(g, 2 * P - s), g)
+                fbuf[:] = g
+
+            @pl.when(i == gh - 1)
+            def _():
+                g = fbuf[:]
+                ys = (gh - 1) * TH
+                for gyv in range(H, min(H + P, ys + SH - P)):
+                    s = gyv - ys + P
+                    g = jnp.where(
+                        iot0 == s, row_of(g, 2 * H - 2 - gyv - ys + P), g
+                    )
+                s0 = H + P - ys + P
+                if s0 < SH:
+                    g = jnp.where(iot0 >= s0, row_of(g, H - 1 - ys), g)
+                fbuf[:] = g
 
         def morph(m, rows, is_erode: bool, iters: int):
             fill = 1.0 if is_erode else 0.0
@@ -314,8 +428,21 @@ def fused_segment(
                 frame_dma(nxt, t + 1).start()
 
             frame_dma(slot, t).wait()
-            # Mosaic has no direct u8 <-> f32 cast; hop through int32
-            f = ftile[slot].astype(jnp.int32).astype(jnp.float32)
+            if raw_window:
+                # reposition the aligned raw window so position (s, c)
+                # holds global pixel (y0 - P + s, x0 - P + c), then let
+                # edge tiles rebuild the reflect/edge halo in-place.
+                # Mosaic has no direct u8 <-> f32 cast (hop through
+                # int32); dynamic rotates need 32-bit data.
+                b = ftile[slot].astype(jnp.int32)
+                b = pltpu.roll(b, ar, axis=0)
+                b = pltpu.roll(b, ac, axis=1)
+                fbuf[:] = b[0:SH, 0:SW].astype(jnp.float32)
+                fix_borders()
+                f = fbuf[:]
+            else:
+                # Mosaic has no direct u8 <-> f32 cast; hop through int32
+                f = ftile[slot].astype(jnp.int32).astype(jnp.float32)
 
             if blur_binom:
                 # exact box cascade (see _box_cascade_axis): r passes of
@@ -472,8 +599,12 @@ def fused_segment(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, SH, SW), jnp.uint8),
+        scratch_shapes=(
+            [pltpu.VMEM((2, RL, CL), jnp.uint8),
+             pltpu.VMEM((SH, SW), jnp.float32)]
+            if raw_window
+            else [pltpu.VMEM((2, SH, SW), jnp.uint8)]
+        ) + [
             pltpu.VMEM((SH, SW), jnp.float32),
             pltpu.VMEM((2, TH, TW), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
