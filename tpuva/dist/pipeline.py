@@ -35,14 +35,116 @@ from tpuva.dist.multistream import (
     make_stream_mesh,
     merge_stream_rows,
 )
+from tpuva.dist.spatial import make_space_mesh, make_spatial_processor
 from tpuva.graph.config import PipelineConfig
 from tpuva.graph.pipeline import PipelineCarry, collect_rows, \
     collect_rows_array
-from tpuva.graph.streaming import AsyncRowDrainer, RowLog
+from tpuva.graph.streaming import AsyncRowDrainer, RowLog, StreamingPipeline
 from tpuva.io.base import VideoBase
 from tpuva.io.staging import BatchStager
 from tpuva.track.table import TrackState
 from tpuva.utils import BatchLogger, hot_loop_transfer_guard
+
+
+class SpatialStreamPipeline(StreamingPipeline):
+    """Config-4 streamed driver on the ('space',) mesh (SURVEY.md §2.4 TP
+    row + §5.4): ONE long video, its rows banded across n_chips.
+
+    Inherits the full StreamingPipeline host machinery — BatchStager
+    decode overlap, AsyncRowDrainer grouped off-thread row collection,
+    periodic atomic checkpoints, RowLog append-only mode, resume
+    byte-identity, transfer-guard discipline — and only overrides the
+    placement hooks:
+
+    - frames are staged directly with the row-band sharding
+      P(None, 'space', None) (device_put against a NamedSharding inside
+      the stager thread, still one explicit async transfer);
+    - the carry is placed explicitly (bg row-banded, tracker replicated)
+      so the first mesh step does not reshard it implicitly inside the
+      transfer-guarded hot loop;
+    - the step is make_spatial_processor's shard_map program, built
+      lazily for the video's (H, W) — bit-identical to the single-chip
+      pipeline (tests/test_spatial_tp.py), so checkpoints interoperate:
+      a single-chip checkpoint resumes on the mesh and vice versa (the
+      snapshot holds the gathered full-frame carry either way).
+
+    H must divide by n_chips and the filter halo must fit one band
+    (make_spatial_processor validates). use_pallas is ignored: the
+    band-parallel program is its own device path.
+    """
+
+    def __init__(self, cfg: PipelineConfig, n_chips: int, mesh=None, **kw):
+        super().__init__(cfg, **kw)
+        self.n_chips = n_chips
+        self.mesh = mesh if mesh is not None else make_space_mesh(n_chips)
+        self._band = NamedSharding(self.mesh, P(None, "space", None))
+        self._rows_sh = NamedSharding(self.mesh, P("space", None))
+        self._rep = NamedSharding(self.mesh, P())
+        self._fns = {}  # (H, W) -> compiled mesh step
+        self._warm = set()  # shapes whose first execution already ran
+
+    # ---------------------------------------------------- placement hooks
+    def _place_carry(self, carry: PipelineCarry) -> PipelineCarry:
+        return PipelineCarry(
+            bg=jax.device_put(carry.bg, self._rows_sh),
+            bg_valid=jax.device_put(carry.bg_valid, self._rep),
+            track=jax.tree.map(
+                lambda x: jax.device_put(x, self._rep), carry.track
+            ),
+            frame_idx=jax.device_put(carry.frame_idx, self._rep),
+        )
+
+    def _place_frames(self, frames):
+        return jax.device_put(frames, self._band)
+
+    def _make_stager(self, source):
+        # The FIRST execution of the shard_map program transfers its
+        # closure constants host->device — an implicit transfer the hot
+        # loop's transfer guard (rightly) rejects. run() builds the
+        # stager before entering the guard, so warm the program here
+        # with a throwaway carry; jit caches the executable.
+        W, H = source.size
+        if (H, W) not in self._warm:
+            self.warmup(H, W)
+            self._warm.add((H, W))
+        return BatchStager(
+            source, self.cfg.batch, queue_depth=self.queue_depth,
+            sharding=self._band,
+        )
+
+    def _step(self, cfg, carry, dev_batch):
+        key = (int(dev_batch.shape[1]), int(dev_batch.shape[2]))
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = make_spatial_processor(
+                cfg, key[0], key[1], self.n_chips, mesh=self.mesh,
+                max_components=self.max_components,
+            )
+            self._fns[key] = fn
+        return fn(carry, dev_batch)
+
+    def _check_capacity(self, out: dict, n: int) -> None:
+        """stats_overflow means a band held more component PIECES than the
+        per-band contraction table (max_components columns): their limb
+        sums were dropped, so areas/centroids are inexact for those
+        frames. Different failure mode than the staged path's sparse
+        strips, same strictness contract."""
+        import warnings
+
+        if "stats_overflow" not in out:
+            return
+        ov = np.asarray(out["stats_overflow"][:n])
+        bad = int((ov > 0).sum())
+        if bad:
+            self.overflow_frames += bad
+            msg = (
+                f"spatial-TP band piece-table overflow on {bad} frame(s) "
+                f"(max {int(ov.max())} pieces dropped): raise "
+                f"max_components (={self.max_components}) for this workload"
+            )
+            if self.strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg)
 
 
 def save_multistream_checkpoint(path: str, carry: PipelineCarry,

@@ -450,6 +450,21 @@ class StreamingPipeline:
         self.active_tracks = 0  # last drained end-of-batch count
         self.logger = BatchLogger(enabled=log)
 
+    # --- mesh-placement hooks (identity on the single-chip path).
+    # SpatialStreamPipeline (tpuva.dist.pipeline) overrides these to run
+    # the SAME driver — checkpoints, resume, RowLog, AsyncRowDrainer,
+    # transfer-guard discipline — over a ('space',) row-band mesh.
+    def _place_carry(self, carry):
+        return carry
+
+    def _place_frames(self, frames):
+        return frames
+
+    def _make_stager(self, source):
+        return BatchStager(
+            source, self.cfg.batch, queue_depth=self.queue_depth
+        )
+
     def _step(self, cfg, carry, dev_batch):
         if (
             self.use_pallas
@@ -479,8 +494,8 @@ class StreamingPipeline:
         through a remote-tunnel device) and would otherwise stall the
         first batch mid-stream."""
         cfg = self.cfg
-        carry = init_carry(cfg, H, W)
-        frames = jnp.zeros((cfg.batch, H, W), jnp.uint8)
+        carry = self._place_carry(init_carry(cfg, H, W))
+        frames = self._place_frames(jnp.zeros((cfg.batch, H, W), jnp.uint8))
         _carry, out = self._step(cfg, carry, frames)
         np.asarray(out["rows"].ravel()[:1])  # sync (tunnel-safe)
 
@@ -498,7 +513,7 @@ class StreamingPipeline:
         W, H = video.size
         chunks: list = []  # list of (k, 5) float64 arrays
         rlog: Optional[RowLog] = None  # opened only after mode validation
-        carry = init_carry(cfg, H, W, background0)
+        carry = self._place_carry(init_carry(cfg, H, W, background0))
         start_frame = 0
         if (
             resume
@@ -506,6 +521,7 @@ class StreamingPipeline:
             and os.path.exists(self.checkpoint_path)
         ):
             carry, saved = load_checkpoint(self.checkpoint_path, cfg)
+            carry = self._place_carry(carry)
             if isinstance(saved, int):
                 if not self.row_log_path:
                     raise ValueError(
@@ -541,7 +557,7 @@ class StreamingPipeline:
                 return out
             return _as_tuples(chunks)
         source = video[start_frame:] if start_frame else video
-        stager = BatchStager(source, cfg.batch, queue_depth=self.queue_depth)
+        stager = self._make_stager(source)
 
         def consume(rec, n):
             # runs on the drainer thread, in submission order
