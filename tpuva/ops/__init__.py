@@ -12,6 +12,10 @@ from tpuva.ops.filters import (  # noqa: F401
     threshold,
 )
 from tpuva.ops.background import background_update  # noqa: F401
+from tpuva.ops.distance import (  # noqa: F401
+    distance_transform_edt,
+    distance_transform_edt_sq,
+)
 from tpuva.ops.label import connected_components_with_stats  # noqa: F401
 from tpuva.ops.warp import (  # noqa: F401
     invert_affine,

@@ -50,6 +50,15 @@ pixel; every tile is at a local fixed point and cross-tile edges admit
 no decrease — a global fixed point. Measured by bench/ccl_pass_probe.py;
 see the in-kernel soundness comments in per_frame_first/per_frame_later.
 
+Seventh-generation change (round 4, raw kernel): pass-1 halo reads never
+touch HBM. The raster visit order means the left neighbor's final labels
+are still in VMEM from the immediately-preceding visit and the row
+above's bottom rows can ride a buffer-width VMEM carry from the previous
+grid step — so pass 1's only HBM traffic is the mask read and the owned/
+compact write-back (the halo-read strips were 393 KB per group-visit).
+Every staleness case is already covered by the per-frame occupancy
+masking: occupied-in-frame implies visited-and-captured-this-pass.
+
 Within a tile, propagation runs to a true local fixed point in VMEM via
 neighbor-min + segmented prefix-doubling scans — pure VPU work, no HBM
 traffic. Passes alternate forward/backward until the frontier empties;
@@ -787,6 +796,7 @@ def label_components_tiled_raw(
                 fr_ref, occf_ref, row_ref = args[:3]
                 refs = args[3:]
             cmp_out = ccnt = sem_c = None
+            edgebuf = rowbuf = None
             if first:
                 if debug_poison:
                     # skip the donated poison-fill inputs (aliased to the
@@ -794,11 +804,12 @@ def label_components_tiled_raw(
                     refs = refs[:1] + refs[1 + (2 if use_compact else 1):]
                 if use_compact:
                     (msk_in, lab_out, cmp_out, flag_ref,
-                     tilebuf, mskbuf, wcnt, ccnt,
+                     tilebuf, mskbuf, edgebuf, rowbuf, wcnt, ccnt,
                      sem_r, sem_m, sem_w, sem_c) = refs
                 else:
                     (msk_in, lab_out, flag_ref,
-                     tilebuf, mskbuf, wcnt, sem_r, sem_m, sem_w) = refs
+                     tilebuf, mskbuf, edgebuf, rowbuf, wcnt,
+                     sem_r, sem_m, sem_w) = refs
             else:
                 if use_compact:
                     (lab_in, cmp_in, lab_out, cmp_out, flag_ref,
@@ -853,31 +864,24 @@ def label_components_tiled_raw(
                     # pass 1 (forward raster) only consumes the TOP ring
                     # row (window row PT-1, any col <= PLW+TW) and the
                     # LEFT ring col (window col PLW-1, mid rows) —
-                    # bottom/right halos are masked to SENT. Read just
-                    # those two strips (393 KB vs the 1.31 MB full window
-                    # at F=8); both lie entirely inside regions earlier
-                    # raster visits already wrote this pass (or are
-                    # occupancy-masked). Aligned: y0 % 8 == 0,
-                    # xb % 128 == 0.
-                    rd_strips = [
-                        pltpu.make_async_copy(
-                            lab_out.at[
-                                pl.ds(nf * F, F), pl.ds(y0, PT),
-                                pl.ds(xb, SW)
-                            ],
-                            tilebuf.at[:, pl.ds(0, PT), :],
-                            sem_r,
-                        ),
-                        pltpu.make_async_copy(
-                            lab_out.at[
-                                pl.ds(nf * F, F),
-                                pl.ds(y0 + PT, TH),
-                                pl.ds(xb, PLW),
-                            ],
-                            tilebuf.at[:, pl.ds(PT, TH), pl.ds(0, PLW)],
-                            sem_r,
-                        ),
-                    ]
+                    # bottom/right halos are masked to SENT. Gen 7: those
+                    # halos never touch HBM at all. Pass 1 visits every
+                    # occupied tile in raster order, so the LEFT
+                    # neighbor's final labels are still in VMEM from the
+                    # immediately-preceding visit (edgebuf: its rightmost
+                    # PLW owned cols, captured by a static vector copy)
+                    # and the row above's bottom PT owned rows went
+                    # through rowbuf (a full-buffer-width VMEM carry,
+                    # moved by local async copies — lane offsets are
+                    # dynamic) during the previous grid step. The values
+                    # are exactly what the old lab_out strip reads
+                    # returned AFTER the producer's write-back drained,
+                    # and every staleness case (unoccupied / unvisited /
+                    # other-frame / other-group producer) was ALREADY
+                    # SENT-masked per frame by nb_occ — occupied-in-frame
+                    # implies visited-and-captured. Saves the 393 KB/
+                    # group-visit of pass-1 halo HBM reads.
+                    rd_strips = []
                 else:
                     rd_strips = [
                         pltpu.make_async_copy(
@@ -1174,6 +1178,18 @@ def label_components_tiled_raw(
                     for rd in rd_strips:
                         rd.start()
                     if first:
+                        # top-halo rows from the previous tile-row's
+                        # VMEM carry (local async copy: the lane offset
+                        # xb is dynamic, 128-aligned), left-halo cols
+                        # from the previous visit's capture (static
+                        # vector copy — disjoint rows from the rowbuf
+                        # placement, so the copies can't race)
+                        place = pltpu.make_async_copy(
+                            rowbuf.at[:, :, pl.ds(xb, SW)],
+                            tilebuf.at[:, pl.ds(0, PT), :],
+                            sem_r,
+                        )
+                        place.start()
                         md = pltpu.make_async_copy(
                             msk_in.at[
                                 pl.ds(nf * F, F),
@@ -1184,10 +1200,28 @@ def label_components_tiled_raw(
                             sem_m,
                         )
                         md.start()
-                        for rd in rd_strips:
-                            rd.wait()
+                        tilebuf[:, PT:PT + TH, 0:PLW] = edgebuf[:, :, :]
+                        place.wait()
                         md.wait()
                         per_frame_first()
+                        # capture this tile's final edges for the NEXT
+                        # visits, before they overwrite tilebuf: right
+                        # PLW owned cols -> edgebuf (consumed by (i,
+                        # j+1)), bottom PT owned rows -> rowbuf at this
+                        # tile's buffer columns (consumed by row i+1).
+                        # Frames this tile doesn't own this group leave
+                        # junk here — SENT-masked by nb_occ at every
+                        # consumer (see the gen-7 note above).
+                        edgebuf[:, :, :] = tilebuf[
+                            :, PT:PT + TH, TW:TW + PLW
+                        ]
+                        cap = pltpu.make_async_copy(
+                            tilebuf.at[:, pl.ds(TH, PT), pl.ds(PLW, TW)],
+                            rowbuf.at[:, :, pl.ds(xb + PLW, TW)],
+                            sem_r,
+                        )
+                        cap.start()
+                        cap.wait()
                     else:
                         for rd in rd_strips:
                             rd.wait()
@@ -1257,6 +1291,11 @@ def label_components_tiled_raw(
         scratch = [pltpu.VMEM((F, SH, SW), jnp.int32)]
         if first:
             scratch.append(pltpu.VMEM((F, TH, TW), jnp.uint8))
+            # gen-7 pass-1 halo carries (see make_pass): the left
+            # neighbor's right edge and the previous tile-row's bottom
+            # rows live in VMEM instead of being re-read from lab_out
+            scratch.append(pltpu.VMEM((F, TH, PLW), jnp.int32))  # edgebuf
+            scratch.append(pltpu.VMEM((F, PT, Wbuf), jnp.int32))  # rowbuf
         scratch.append(pltpu.SMEM((1,), jnp.int32))  # in-flight writes
         if use_compact:
             scratch.append(pltpu.SMEM((1,), jnp.int32))  # compact copies
