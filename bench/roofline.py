@@ -105,7 +105,6 @@ def main():
     from tpuva.ops.label import _stats_from_compact
     from tpuva.ops.pallas.ccl import label_components_tiled_raw
     from tpuva.ops.pallas.fused_segment import _ceil_to, fused_tile
-    from tpuva.ops.pallas.pad import pad_reflect_edge_u8
 
     cfg = build_config()
     H, W = 1080, 1920
@@ -123,34 +122,27 @@ def main():
         P += (cfg.morph_close.ksize // 2) * cfg.morph_close.iterations * 2
     TH, TW, Hp, Wp = fused_tile(H, W)
     SH, SW = _ceil_to(TH + 2 * P, 8), _ceil_to(TW + 2 * P, 128)
-    HP, WP = Hp + (SH - TH - P) + P, Wp + (SW - TW - P) + P
     gh, gw = Hp // TH, Wp // TW
+    # raw-window mode (round 4): no pre-pad; each tile DMAs an ALIGNED
+    # over-sized window straight from the raw batch (static RL x CL,
+    # sized so the clipped start always lands the window in-image —
+    # same formulas as fused_segment.fused_segment)
+    PRE, CPRE = _ceil_to(P, 32), _ceil_to(P, 128)
+    RL = H - (H - SH - PRE) // 32 * 32
+    CL = W - (W - SW - CPRE) // 128 * 128
     Hc, Wc = -(-H // 64) * 64, -(-W // 256) * 256
 
     stages = []
 
-    # 1. pre-pad (DMA pad kernel): read the batch, write the padded cover
-    t, fp = timeit(
-        lambda f: pad_reflect_edge_u8(f, P, HP, WP), (frames,)
-    )
-    stages.append(
-        stage(
-            "pre_pad_dma", t, N * H * W + N * HP * WP,
-            f"u8 reflect+edge pad to {HP}x{WP}",
-        )
-    )
-
-    # 2. fused mask kernel (includes the pad; floor counts the pad's
-    # traffic + per-tile halo re-reads + mask/occ/bg writes)
+    # 1. fused mask kernel (raw-window mode; floor counts the per-tile
+    # aligned over-reads + mask/occ/bg traffic — no pad stage exists)
     t, outs = timeit(
         lambda c, f: _fused_mask_stage(cfg, c, f, padded_occ=True),
         (carry, frames),
     )
     mask, bg_last, occ128 = outs
     fused_floor = (
-        N * H * W  # pad read
-        + N * HP * WP  # pad write
-        + N * gh * gw * SH * SW  # kernel tile reads (halo overlap)
+        N * gh * gw * RL * CL  # raw window reads (alignment over-read)
         + gh * gw * SH * SW * 4  # bg tile read (f32, once)
         + N * Hp * Wp  # mask write
         + N * (Hp // 2) * (Wp // 128)  # occ write
@@ -159,16 +151,31 @@ def main():
     stages.append(
         stage(
             "fused_mask_stage", t, fused_floor,
-            "pad + bg/blur/median/threshold/morph, VMEM-resident",
+            f"raw-window {RL}x{CL}/tile; bg/blur/median/threshold/morph"
+            " VMEM-resident",
+        )
+    )
+    # the IDEAL floor if windows could be read without alignment
+    # over-read (1 u8 read + 1 u8 write per pixel + occ/bg): how far the
+    # whole stage is from true speed-of-light
+    ideal = N * H * W + N * Hp * Wp + N * (Hp // 2) * (Wp // 128) \
+        + Hp * Wp * 4
+    stages.append(
+        stage(
+            "fused_mask_ideal", t, ideal,
+            "same timing vs no-over-read floor (headroom bound)",
         )
     )
 
-    # CCL strip occupancy (tiny): derive the (2x256) strip occupancy the
-    # post-mask stage uses, and the occupied-tile fraction for the floor
+    # CCL strip occupancy (tiny): the same pairwise max the post-mask
+    # fast path uses (pipeline.py:262) — the CCL runs on the FUSED padded
+    # grid (Hp x Wp), not the 64/256 cover of (H, W)
     occ = np.asarray(occ128)
-    so = occ.reshape(N, Hc // 2, Wc // 256, 2).max(axis=3)
-    tile_occ = so.reshape(N, Hc // 64, 32, Wc // 256).max(axis=2)
+    Nn, Hb2, Qc2 = occ.shape  # (N, Hp//2, Wp//128)
+    so = occ.reshape(Nn, Hb2, Qc2 // 2, 2).max(axis=3)
+    tile_occ = so.reshape(Nn, Hb2 * 2 // 64, 32, Qc2 // 2).max(axis=2)
     occ_frac = float(tile_occ.mean())
+    Hc, Wc = Hb2 * 2, (Qc2 // 2) * 256
 
     @jax.jit
     def strip_occ(o):
@@ -238,7 +245,7 @@ def main():
         "device": str(jax.devices()[0]),
         "peak_hbm_gbps_assumed": PEAK_HBM_GBPS,
         "fused_grid": {"TH": TH, "TW": TW, "SH": SH, "SW": SW,
-                       "padded": [HP, WP], "halo": P},
+                       "raw_window": [RL, CL], "halo": P},
         "ccl_grid": [Hc, Wc],
         "stages": stages,
         "full_staged_ms": round(t * 1e3, 3),
