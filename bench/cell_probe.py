@@ -9,7 +9,20 @@ labels are exact) needs, per frame-tile visit:
 
 both as in-kernel VPU ops. This measures them against a full-height
 roll+min baseline to decide whether the halved sweep pays for the
-pack/unpack, and whether Mosaic lowers them at all."""
+pack/unpack, and whether Mosaic lowers them at all.
+
+VERDICT (measured on the v5e, round 4): the idea is DEAD on this
+toolchain. Marginal cell ops do cost ~52% of full-height ops
+(baseline_sweepish 41.6 us vs cell_sweepish 34.7 us at 64 ops/rep), but
+the stride-2 extract + interleave relayout costs ~15 us per (80, 512)
+roundtrip — equivalent to ~50 full-height ops, dwarfing the ~4.5 us/frame
+sweep saving. A full gen-8 cell-sweep implementation of the raw CCL
+kernel (bit-identical, all tests green) measured interior 13.6 -> 34.9,
+bench 21.1 -> 65.0 ms/batch and was reverted. Avoiding the relayout
+needs a cell-planar tilebuf/lab_out layout, which breaks the strided
+write-back DMA (stride-2 row destinations are not expressible) and the
+compact/stats coordinate contract. Do not retry without a Mosaic that
+lowers sublane-stride-2 shuffles natively."""
 
 from __future__ import annotations
 
@@ -64,11 +77,28 @@ def make(kind):
                     b = jnp.minimum(b, pltpu.roll(b, 1, axis=0))
                 y = jnp.stack([t, b], axis=1).reshape(SH, SW)
                 return y
-            if kind == "halfwork_only":
-                t = x[: SH // 2]
-                for _ in range(8):
-                    t = jnp.minimum(t, pltpu.roll(t, 1, axis=0))
-                return x.at[: SH // 2].set(t) if hasattr(x, "at") else x
+            if kind == "baseline_sweepish":
+                # ~64 full-height ops (a realistic per-frame sweep mix)
+                for _ in range(16):
+                    x = jnp.minimum(x, pltpu.roll(x, 1, axis=0))
+                    x = jnp.minimum(x, pltpu.roll(x, SH - 1, axis=0))
+                    x = jnp.minimum(x, pltpu.roll(x, 1, axis=1))
+                    x = jnp.minimum(x, pltpu.roll(x, SW - 1, axis=1))
+                return x
+            if kind == "cell_sweepish":
+                # one extract + ~64 HALF-height ops + one interleave —
+                # the real kernel's amortization shape
+                c = x.reshape(SH // 2, 2, SW)
+                t, b = c[:, 0], c[:, 1]
+                v = jnp.minimum(t, b)
+                for _ in range(16):
+                    v = jnp.minimum(v, pltpu.roll(v, 1, axis=0))
+                    v = jnp.minimum(v, pltpu.roll(v, SH // 2 - 1, axis=0))
+                    v = jnp.minimum(v, pltpu.roll(v, 1, axis=1))
+                    v = jnp.minimum(v, pltpu.roll(v, SW - 1, axis=1))
+                return jnp.stack([v, jnp.maximum(v, b)], axis=1).reshape(
+                    SH, SW
+                )
             raise ValueError(kind)
 
         o_ref[:] = lax.fori_loop(0, REPS, body, x_ref[:])
@@ -94,7 +124,8 @@ def main():
     x = jnp.asarray(
         np.random.default_rng(0).integers(0, 1 << 20, (SH, SW), np.int32)
     )
-    for kind in ("baseline_min", "extract_roundtrip", "halfwork_only"):
+    for kind in ("baseline_min", "extract_roundtrip",
+                 "baseline_sweepish", "cell_sweepish"):
         try:
             t, _ = timeit(make(kind), (x,))
             print(f"{kind:18s}: {t/REPS*1e6:8.2f} us/rep")
