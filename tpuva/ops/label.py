@@ -749,10 +749,15 @@ def _stats_from_root(
     return out
 
 
-def _limb_contract(got, table, b, c):
+def _limb_contract(got, table, b, c, tail_split: int = 0):
     """Payload contraction via the additive limb split — THE single copy
     of the exactness-critical factorization used by both the raw and the
     compact stats tails.
+
+    tail_split > 0 enables the tiered contraction (head strips always,
+    tail strips under a runtime lax.cond — see the inline note); eq4 is
+    then not materialized and returns None (callers needing it — bbox —
+    must pass tail_split=0).
 
     For slot v of strip (b, c): x = 256c + xl (xl = v % 256),
     y = 2b + yl (yl = v >= 256). Because strip bases are 256- (x) and
@@ -793,15 +798,48 @@ def _limb_contract(got, table, b, c):
         ],
         axis=-1,
     ).astype(jnp.float32)  # (N, S, 7)
-    eq4 = got[:, :, :, None] == table[:, None, None, :]  # (N, S, 512, C)
-    E2 = jnp.sum(eq4, axis=1, dtype=jnp.float32)  # (N, 512, C)
-    cnt = jnp.sum(eq4, axis=2, dtype=jnp.float32)  # (N, S, C)
-    sums = jnp.einsum(
-        "nvc,vk->nck", E2, L, preferred_element_type=jnp.float32
-    ) + jnp.einsum(
-        "nsc,nsk->nck", cnt, B, preferred_element_type=jnp.float32
-    )  # (N, C, 7)
-    return sums, eq4
+
+    def contract(lo, hi):
+        eq = (
+            got[:, lo:hi, :, None] == table[:, None, None, :]
+        )  # (N, hi-lo, 512, C)
+        E2 = jnp.sum(eq, axis=1, dtype=jnp.float32)
+        cnt = jnp.sum(eq, axis=2, dtype=jnp.float32)
+        return jnp.einsum(
+            "nvc,vk->nck", E2, L, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "nsc,nsk->nck", cnt, B[:, lo:hi],
+            preferred_element_type=jnp.float32,
+        ), eq
+
+    if not tail_split:
+        sums, eq4 = contract(0, got.shape[1])
+        return sums, eq4
+
+    # Tiered contraction (round 4, PERF_ROOFLINE: this stage ran at 1.7%
+    # of the HBM roofline because the compare volume is linear in the
+    # STATIC slot capacity while typical scenes rank far fewer blocks).
+    # The first `tail_split` strips are always contracted; every further
+    # `tail_split`-strip chunk runs under a lax.cond gated on whether ANY
+    # frame ranked a strip into it. Valid strips are a PREFIX of the
+    # strip order in both stats tails (slot ranks are exclusive cumsums),
+    # so "chunk used" is just "its first strip is valid somewhere" — and
+    # skipped chunks hold only the -1 invalid fill, whose contribution is
+    # identically zero: skipping is bit-identical, and the stage's cost
+    # adapts to the batch's worst frame instead of the static capacity.
+    S = got.shape[1]
+    lo = min(tail_split, S)
+    sums, _eq = contract(0, lo)
+    while lo < S:
+        hi = min(lo + tail_split, S)
+        chunk_used = jnp.any(got[:, lo, 0] >= 0)
+        sums = sums + lax.cond(
+            chunk_used,
+            (lambda lo=lo, hi=hi: contract(lo, hi)[0]),
+            lambda: jnp.zeros_like(sums),
+        )
+        lo = hi
+    return sums, None
 
 
 def _bbox_from_strips(eq4, b, c, present, H: int, W: int):
@@ -949,7 +987,12 @@ def _stats_from_raw(
 
     # payload contraction: carry-free limb factorization, single proof
     # and implementation in _limb_contract
-    sums, eq4 = _limb_contract(got, table, b, c)
+    # tiered when bbox doesn't need the membership tensor — the tail
+    # tier only runs for frames that actually ranked strips past the
+    # head (bit-identical: unskipped tails contribute exactly zero)
+    sums, eq4 = _limb_contract(
+        got, table, b, c, tail_split=0 if compute_bbox else 64
+    )
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C
     )
@@ -1162,7 +1205,12 @@ def _stats_from_compact(
 
     # payload contraction: carry-free limb factorization, single proof
     # and implementation in _limb_contract
-    sums, eq4 = _limb_contract(got, table, b, c)
+    # tiered when bbox doesn't need the membership tensor — the tail
+    # tier only runs for frames that actually ranked strips past the
+    # head (bit-identical: unskipped tails contribute exactly zero)
+    sums, eq4 = _limb_contract(
+        got, table, b, c, tail_split=0 if compute_bbox else 64
+    )
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C
     )
