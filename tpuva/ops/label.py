@@ -749,7 +749,8 @@ def _stats_from_root(
     return out
 
 
-def _limb_contract(got, table, b, c, tail_split: int = 0):
+def _limb_contract(got, table, b, c, tail_split: int = 0,
+                   table_invalid=None):
     """Payload contraction via the additive limb split — THE single copy
     of the exactness-critical factorization used by both the raw and the
     compact stats tails.
@@ -776,20 +777,29 @@ def _limb_contract(got, table, b, c, tail_split: int = 0):
     f32 arithmetic is exact and the result is bit-identical to a direct
     one-hot matmul.
 
-    got: (N, S, 512) root key per slot; table: (N, C); b, c: (N, S)
-    strip block-row / block-col coords. Returns (sums (N, C, 7),
-    eq4 (N, S, 512, C) — reused by _bbox_from_strips).
+    got: (N, S, 512) root key per slot (or (N, 2S, 256) row-granular,
+    with rows=True: the y parity then folds into the per-row base —
+    (2b & 63) + par <= 63, still carry-free); table: (N, C); b, c:
+    (N, S) strip block-row / block-col coords ((N, 2S) per-row, with
+    b pre-scaled so y = b_row directly). Returns (sums (N, C, 7),
+    eq4 — reused by _bbox_from_strips; None in tiered mode).
     """
-    vs = np.arange(512, dtype=np.int64)
-    xl, yl = vs % 256, (vs >= 256).astype(np.int64)
+    V = got.shape[2]
+    vs = np.arange(V, dtype=np.int64)
+    if V == 512:
+        xl, yl = vs % 256, (vs >= 256).astype(np.int64)
+        xb, yb = 256 * c, 2 * b
+    else:  # row-granular (V=256): y comes entirely from the row base
+        assert V == 256
+        xl, yl = vs, np.zeros(V, np.int64)
+        xb, yb = 256 * c, b  # caller passes b = 2*block_row + parity
     L = jnp.asarray(
         np.stack(
-            [np.ones(512), xl & 63, xl >> 6, np.zeros(512),
-             yl, np.zeros(512), np.zeros(512)],
+            [np.ones(V), xl & 63, xl >> 6, np.zeros(V),
+             yl, np.zeros(V), np.zeros(V)],
             axis=-1,
         ).astype(np.float32)
-    )  # (512, 7)
-    xb, yb = 256 * c, 2 * b
+    )  # (V, 7)
     B = jnp.stack(
         [
             jnp.zeros_like(xb), jnp.zeros_like(xb),
@@ -799,10 +809,11 @@ def _limb_contract(got, table, b, c, tail_split: int = 0):
         axis=-1,
     ).astype(jnp.float32)  # (N, S, 7)
 
-    def contract(lo, hi):
+    def contract(lo, hi, cl=0, ch=None):
+        ch = table.shape[1] if ch is None else ch
         eq = (
-            got[:, lo:hi, :, None] == table[:, None, None, :]
-        )  # (N, hi-lo, 512, C)
+            got[:, lo:hi, :, None] == table[:, None, None, cl:ch]
+        )  # (N, hi-lo, 512, ch-cl)
         E2 = jnp.sum(eq, axis=1, dtype=jnp.float32)
         cnt = jnp.sum(eq, axis=2, dtype=jnp.float32)
         return jnp.einsum(
@@ -817,29 +828,56 @@ def _limb_contract(got, table, b, c, tail_split: int = 0):
         return sums, eq4
 
     # Tiered contraction (round 4, PERF_ROOFLINE: this stage ran at 1.7%
-    # of the HBM roofline because the compare volume is linear in the
-    # STATIC slot capacity while typical scenes rank far fewer blocks).
-    # The first `tail_split` strips are always contracted; every further
-    # `tail_split`-strip chunk runs under a lax.cond gated on whether ANY
-    # frame ranked a strip into it. Valid strips are a PREFIX of the
-    # strip order in both stats tails (slot ranks are exclusive cumsums),
-    # so "chunk used" is just "its first strip is valid somewhere" — and
-    # skipped chunks hold only the -1 invalid fill, whose contribution is
-    # identically zero: skipping is bit-identical, and the stage's cost
+    # of the HBM roofline because the compare volume is linear in TWO
+    # STATIC capacities — slot strips and max_components — while typical
+    # scenes rank far fewer blocks and roots). Both axes tier the same
+    # way: the head chunk always runs, every further chunk runs under a
+    # lax.cond gated on whether ANY frame actually reaches it. Valid
+    # strips are a PREFIX of the strip order (slot ranks are exclusive
+    # cumsums) and valid root-table columns are a PREFIX too (ascending
+    # rank fill), so "chunk used" is one compare of its first element —
+    # and skipped chunks hold only invalid fills (-1 strips / sent+2
+    # table entries) whose every compare is false: contribution
+    # identically zero, skipping is bit-identical, and the stage's cost
     # adapts to the batch's worst frame instead of the static capacity.
     S = got.shape[1]
-    lo = min(tail_split, S)
-    sums, _eq = contract(0, lo)
-    while lo < S:
-        hi = min(lo + tail_split, S)
-        chunk_used = jnp.any(got[:, lo, 0] >= 0)
-        sums = sums + lax.cond(
-            chunk_used,
-            (lambda lo=lo, hi=hi: contract(lo, hi)[0]),
-            lambda: jnp.zeros_like(sums),
-        )
-        lo = hi
-    return sums, None
+    C = table.shape[1]
+    CC = 8  # component-axis chunk (components beyond the worst frame's
+    #         n_roots cost nothing)
+    assert table_invalid is not None, (
+        "tiered contraction needs the table's invalid-fill sentinel"
+    )
+
+    def c_used(cl):
+        # column cl holds a valid key in SOME frame iff any frame has
+        # n_roots > cl (valid columns are a prefix; invalid columns hold
+        # exactly the sentinel fill)
+        return jnp.any(table[:, cl] != jnp.int32(table_invalid))
+
+    parts = []
+    for cl in range(0, C, CC):
+        ch = min(cl + CC, C)
+
+        def c_block(cl=cl, ch=ch):
+            lo = min(tail_split, S)
+            acc, _eq = contract(0, lo, cl, ch)
+            while lo < S:
+                hi = min(lo + tail_split, S)
+                chunk_used = jnp.any(got[:, lo, 0] >= 0)
+                acc = acc + lax.cond(
+                    chunk_used,
+                    (lambda lo=lo, hi=hi: contract(lo, hi, cl, ch)[0]),
+                    lambda: jnp.zeros_like(acc),
+                )
+                lo = hi
+            return acc
+
+        if cl == 0:
+            parts.append(c_block())
+        else:
+            zero = jnp.zeros((got.shape[0], ch - cl, 7), jnp.float32)
+            parts.append(lax.cond(c_used(cl), c_block, lambda z=zero: z))
+    return jnp.concatenate(parts, axis=1), None
 
 
 def _bbox_from_strips(eq4, b, c, present, H: int, W: int):
@@ -991,7 +1029,8 @@ def _stats_from_raw(
     # tier only runs for frames that actually ranked strips past the
     # head (bit-identical: unskipped tails contribute exactly zero)
     sums, eq4 = _limb_contract(
-        got, table, b, c, tail_split=0 if compute_bbox else 64
+        got, table, b, c, tail_split=0 if compute_bbox else 64,
+        table_invalid=sent + 2,
     )
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C
@@ -1152,24 +1191,50 @@ def _stats_from_compact(
         occ_strip3 & (strip_rank >= T), axis=(1, 2), dtype=jnp.int32
     )
 
-    # strips in slot-major order — a pure reshape of the compact buffer
-    # ((TH, TW) block -> SB x (2, 256) strips -> (SB, 512) spatial rows)
-    got = compact[:N].reshape(N, S, 2 * TW)
-    sv = jnp.broadcast_to(slot_valid[:, :, None], (N, T, SB)).reshape(N, S)
-    got = jnp.where(sv[:, :, None], got, jnp.int32(-1))
-
+    # strips in slot-major order. Layout choice (round 4, measured by
+    # the stats probe): the (SB, 512) strip view of a (CR, 256) slot
+    # block is row-major-free but NOT TPU-tile-free — XLA materializes a
+    # ~200 MB relayout copy of the whole buffer at batch 256. The
+    # ROW-granular (2S, 256) view IS tile-free (leading-dim merge only),
+    # so the hot path (no bbox) keeps rows and folds the row parity into
+    # the per-row key base / y coordinate; only the tiny per-component
+    # gathers ever form 512-wide data. The bbox path still needs the
+    # (N, S, 512) membership tensor and keeps the old view.
     ti = tile_id // gw
     tj = tile_id % gw
     rr = jnp.arange(SB, dtype=jnp.int32)
     b = (ti[:, :, None] * SB + rr[None, None, :]).reshape(N, S)  # block row
     c = jnp.broadcast_to(tj[:, :, None], (N, T, SB)).reshape(N, S)  # chunk
     base_s = (b * Wb + c * 128) * 4  # (N, S) strip base keys
+    sv = jnp.broadcast_to(slot_valid[:, :, None], (N, T, SB)).reshape(N, S)
 
-    # root flags (see _stats_from_raw for the `< sent` alias guard)
-    flags = (
-        got == base_s[:, :, None] + jnp.asarray(kofs)[None, None]
-    ) & (got < jnp.int32(sent))
-    cnts = jnp.sum(flags, axis=2, dtype=jnp.int32)  # (N, S)
+    if compute_bbox:
+        got = compact[:N].reshape(N, S, 2 * TW)
+        got = jnp.where(sv[:, :, None], got, jnp.int32(-1))
+        # root flags (see _stats_from_raw for the `< sent` alias guard)
+        flags = (
+            got == base_s[:, :, None] + jnp.asarray(kofs)[None, None]
+        ) & (got < jnp.int32(sent))
+        cnts = jnp.sum(flags, axis=2, dtype=jnp.int32)  # (N, S)
+    else:
+        gotr = compact[:N].reshape(N, 2 * S, TW)  # free view
+        svr = jnp.repeat(sv, 2, axis=1)
+        gotr = jnp.where(svr[:, :, None], gotr, jnp.int32(-1))
+        # per-row key offsets: row j of a slot block is strip j>>1,
+        # parity j&1; within the old 512 strip view that row's slots sat
+        # at v = par*256 + col with kofs = (col>>1)*4 + par*2 + (col&1)
+        cols = np.arange(TW, dtype=np.int64)
+        kof_par = np.stack(
+            [(cols >> 1) * 4 + p * 2 + (cols & 1) for p in (0, 1)]
+        ).astype(np.int32)  # (2, 256)
+        kof_rows = jnp.asarray(np.tile(kof_par, (S, 1)))  # (2S, 256)
+        base_r = jnp.repeat(base_s, 2, axis=1)  # (N, 2S)
+        flags_r = (
+            gotr == base_r[:, :, None] + kof_rows[None]
+        ) & (gotr < jnp.int32(sent))
+        cnts = jnp.sum(
+            flags_r, axis=2, dtype=jnp.int32
+        ).reshape(N, S, 2).sum(axis=2)  # (N, S)
 
     # ascending-key strip order via a tiny metadata sort (roots must be
     # id'd in cv2 ascending-key order; slot-major order interleaves tile
@@ -1194,9 +1259,20 @@ def _stats_from_compact(
     r_in_chunk = cs[None, :] - jnp.take_along_axis(offs, chunk_of_c, axis=1)
     strip_of_c = jnp.take_along_axis(order, chunk_of_c, axis=1)  # raw idx
     _m1, _m2, _m3, perm = _strip_view_meta(8)
-    sel_flags = jnp.take_along_axis(
-        flags, strip_of_c[:, :, None], axis=1
-    )[:, :, jnp.asarray(perm)]  # (N, C, 512) in K-offset order
+    if compute_bbox:
+        sel_flags = jnp.take_along_axis(
+            flags, strip_of_c[:, :, None], axis=1
+        )[:, :, jnp.asarray(perm)]  # (N, C, 512) in K-offset order
+    else:
+        # gather the selected strip's TWO rows and re-form the 512 strip
+        # view only on this tiny (N, C, 512) tensor — identical values
+        # to the old full-buffer strip view (v = par*256 + col)
+        ridx = (strip_of_c[:, :, None] * 2
+                + jnp.arange(2, dtype=jnp.int32)[None, None]
+                ).reshape(N, 2 * C)
+        sel_flags = jnp.take_along_axis(
+            flags_r, ridx[:, :, None], axis=1
+        ).reshape(N, C, 512)[:, :, jnp.asarray(perm)]
     cumk = jnp.cumsum(sel_flags.astype(jnp.int32), axis=2)
     pos = jnp.argmax(cumk > r_in_chunk[:, :, None], axis=2).astype(jnp.int32)
     kval = jnp.take_along_axis(base_s, strip_of_c, axis=1) + pos
@@ -1208,9 +1284,22 @@ def _stats_from_compact(
     # tiered when bbox doesn't need the membership tensor — the tail
     # tier only runs for frames that actually ranked strips past the
     # head (bit-identical: unskipped tails contribute exactly zero)
-    sums, eq4 = _limb_contract(
-        got, table, b, c, tail_split=0 if compute_bbox else 64
-    )
+    if compute_bbox:
+        sums, eq4 = _limb_contract(
+            got, table, b, c, tail_split=0, table_invalid=sent + 2,
+        )
+    else:
+        # row-granular operands: y = 2*block_row + parity rides the
+        # per-row base (see _limb_contract's V=256 form)
+        par = jnp.asarray(
+            np.tile(np.array([0, 1], np.int32), S)
+        )  # (2S,)
+        b_row = jnp.repeat(2 * b, 2, axis=1) + par[None]
+        c_row = jnp.repeat(c, 2, axis=1)
+        sums, eq4 = _limb_contract(
+            gotr, table, b_row, c_row, tail_split=128,
+            table_invalid=sent + 2,
+        )
     count, area, centroid, csum, present = _assemble_stats(
         sums, n_roots, H, W, C
     )
