@@ -122,6 +122,37 @@ def test_spatial_stream_row_log_resume(tmp_path):
     ] == full
 
 
+def test_spatial_stream_strict_overflow_raises():
+    """The spatial driver's capacity contract: more component PIECES in
+    one band than the contraction table holds must raise in strict mode
+    (mentioning the max_components knob), not silently drop stats."""
+    clip, plate = clip_and_plate(frames=8)
+    # salt the clip with many specks so each band holds > max_components
+    rng = np.random.default_rng(5)
+    clip = clip.copy()
+    for t in range(8):
+        ys = rng.integers(0, 96, 60)
+        xs = rng.integers(0, 128, 60)
+        for y, x in zip(ys, xs):
+            clip[t, y : y + 2, x : x + 2] = 255
+    cfg_noblur = PipelineConfig(
+        background=BackgroundConfig(alpha=0.0),
+        segment=SegmentConfig(threshold=35.0, min_area=1, max_blobs=4),
+        track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+        batch=8,
+    )
+    sp = SpatialStreamPipeline(cfg_noblur, N_CHIPS, max_components=4)
+    with pytest.raises(RuntimeError, match="max_components"):
+        sp.run(VideoMemory(clip), background0=plate)
+    # non-strict mode: warns and counts instead
+    sp2 = SpatialStreamPipeline(
+        cfg_noblur, N_CHIPS, max_components=4, strict=False
+    )
+    with pytest.warns(UserWarning, match="piece-table overflow"):
+        sp2.run(VideoMemory(clip), background0=plate)
+    assert sp2.overflow_frames > 0
+
+
 def test_spatial_stream_rejects_bad_geometry():
     """H not divisible by the mesh, or a halo bigger than one band, must
     fail loudly at the first step — not silently mis-band."""

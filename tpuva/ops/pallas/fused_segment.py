@@ -253,11 +253,36 @@ def fused_segment(
     # therefore, because every partial sum is an exact integer in f32,
     # bit-identical results) as the jnp twin's _box_cascade_axis
     blur_binom = bool(blur_ksize) and is_binomial_blur(blur_ksize, blur_sigma)
+    if blur_binom:
+        # COLUMN pass as one banded MXU matmul (round 4): the inputs are
+        # uint8 values (bf16-exact <= 255) and the integer binomial taps
+        # are bf16-exact too, so with f32 accumulation every product and
+        # partial sum is the same exact integer the VPU cascade produces;
+        # separable convolution commutes over exact integers, so running
+        # column-first then the row cascade is BIT-IDENTICAL to the
+        # row-first double cascade — while replacing 2k-2 full-window
+        # sublane roll+adds with one MXU op. Window-edge rows differ
+        # (zero taps beyond the window vs the cascade's circular wrap)
+        # strictly inside the don't-care halo contamination band the
+        # tile geometry already accounts for (halo math, module
+        # docstring); any_fg can only flip spuriously TRUE there, which
+        # is a perf non-event, never an accuracy one.
+        btaps = [1]
+        for _ in range(blur_ksize - 1):
+            btaps = np.convolve(btaps, [1, 1]).tolist()
+        wc = np.zeros((SH, SH), np.float32)
+        for di, tap in enumerate(btaps):
+            off = di - rb
+            idx = np.arange(max(0, -off), min(SH, SH - off))
+            wc[idx, idx + off] = tap
+        Wc = jnp.asarray(wc, dtype=jnp.bfloat16)  # passed as a kernel input
     a = float(alpha)
     thr = float(threshold)
 
     def kernel(fp_ref, bp_ref, *refs):
         refs = list(refs)
+        if blur_binom:
+            wc_ref = refs.pop(0)
         if padded_occ:
             mask_ref, bgout_ref, occ_ref = refs[:3]
             refs = refs[3:]
@@ -445,24 +470,23 @@ def fused_segment(
                 f = ftile[slot].astype(jnp.int32).astype(jnp.float32)
 
             if blur_binom:
-                # exact box cascade (see _box_cascade_axis): r passes of
-                # y[i] += y[i-1] then r of y[i] += y[i+1] per axis keep
-                # the window centered; one power-of-two scale at the end.
-                # All partial sums are exact integers in f32, so this is
-                # bit-identical to the jnp twin despite the roll-based
-                # (vs slice-based) shifts.
+                # column pass on the MXU (one banded matmul, exact — see
+                # the Wc note above), then the exact row box cascade:
+                # r passes of y[i] += y[i-1] then r of y[i] += y[i+1]
+                # keep the window centered; one power-of-two scale at
+                # the end. Every partial sum is an exact integer in f32,
+                # so the result is bit-identical to the jnp twin's
+                # row-then-column double cascade (exact integer
+                # convolutions commute).
+                f = jnp.dot(
+                    wc_ref[:], f.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
                 r = rb
-                for axis in (1, 0):  # row (W) pass first, like cv2
-                    for d in range(r):
-                        f = f + (
-                            _roll2(f, 0, -1) if axis == 1
-                            else _roll2(f, -1, 0)
-                        )
-                    for d in range(r):
-                        f = f + (
-                            _roll2(f, 0, 1) if axis == 1
-                            else _roll2(f, 1, 0)
-                        )
+                for d in range(r):
+                    f = f + _roll2(f, 0, -1)
+                for d in range(r):
+                    f = f + _roll2(f, 0, 1)
                 f = f * (2.0 ** (-2 * (blur_ksize - 1)))
             elif kblur:
                 r = rb
@@ -596,7 +620,10 @@ def fused_segment(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + (
+            # banded column-blur taps, VMEM-resident ((SH, SH) bf16)
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] if blur_binom else []
+        ),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=(
@@ -612,7 +639,7 @@ def fused_segment(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(fp, bp)
+    )(*((fp, bp, Wc) if blur_binom else (fp, bp)))
     if padded_occ:
         masks, bg_out, occ_pad = outs
         # drop the lane padding: keep the first TW//128 flags of each
