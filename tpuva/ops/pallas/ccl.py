@@ -628,7 +628,7 @@ def label_components_tiled_raw(
     tile: tuple = (64, 256),
     max_rounds: int = 64,
     frames_per_step: int = 8,
-    max_run: int = 64,
+    max_run: int = 32,
     compact_slots: int = 0,
     compact_rows: int = 16,
     debug_poison: bool = False,
@@ -660,12 +660,14 @@ def label_components_tiled_raw(
 
     8-connectivity only (the pipeline contract, tpuva/graph/config.py).
 
-    max_run=64 (vs the dense kernel's 128): truncating the prefix-doubling
-    scans at 64 px cut the measured batch cost ~5% on the 1080p bench
-    scene with zero effect on results — the within-tile while_loop still
-    runs to a true local fixed point (truncation only adds iterations for
-    fragments whose runs exceed 64 px, i.e. blobs bigger than ~64 px
-    across, which then converge in 2+ sweeps instead of 1).
+    max_run=32 (vs the dense kernel's 128): truncating the prefix-doubling
+    scans cut the measured batch cost ~5% at 64 px (round 3) and a
+    further ~6-7% at 32 px (round 4; bench 21.3 -> 19.8, interior/corner
+    -5/-6%, a 300-px-diameter blob within noise at 10.7 vs 10.5, while
+    16 px regressed it to 13.5) with zero effect on results — the
+    within-tile while_loop still runs to a true local fixed point
+    (truncation only adds iterations for fragments whose runs exceed
+    max_run, which then converge in 2+ sweeps instead of 1).
 
     Args:
       mask_padded: (N, Hp, Wp) uint8, zero outside the true (H, W) image;
