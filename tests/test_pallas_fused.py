@@ -367,3 +367,116 @@ def test_fused_raw_window_padded_occ():
         want.reshape(6, Hp // 2, 2, Wp // 128, 128).max(axis=(2, 4)) > 0
     ).astype(np.uint8)
     np.testing.assert_array_equal(np.asarray(occ), occ_want)
+
+
+def test_fused_fullwidth_ring_matches_prepad():
+    """Full-width circular-column mode (round 4): a single tile column
+    covering the whole width with the left halo wrapped to the ring's
+    end. Forced via an explicit wide tile (gw == 1, TW >= W + 2P,
+    W % 128 == 0); reference is the same kernel on the pre-pad fallback
+    grid. Covers mask emit, diff emit, padded_occ, median, and a
+    partial-bottom row grid — all bit-identical."""
+    import jax.numpy as jnp
+
+    from tpuva.ops.pallas.fused_segment import fused_segment
+
+    rng = np.random.default_rng(11)
+    H, W, N = 128, 256, 5
+    frames = rng.integers(0, 255, (N, H, W), np.uint8)
+    bg0 = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    kw = dict(
+        alpha=0.07, threshold=30.0, blur_ksize=5, blur_sigma=0.0,
+        median_ksize=3, open_ksize=3, open_shape="rect",
+        close_ksize=3, close_shape="ellipse",
+    )
+    m_ref, bg_ref = fused_segment(jnp.asarray(frames), jnp.asarray(bg0), **kw)
+    m_fw, bg_fw = fused_segment(
+        jnp.asarray(frames), jnp.asarray(bg0), tile=(32, 384), **kw
+    )
+    np.testing.assert_array_equal(np.asarray(m_fw), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(bg_fw), np.asarray(bg_ref))
+
+    mp, bgp, occ = fused_segment(
+        jnp.asarray(frames), jnp.asarray(bg0), tile=(32, 384),
+        padded_occ=True, **kw
+    )
+    Hp, Wp = mp.shape[1:]
+    want = np.zeros((N, Hp, Wp), np.uint8)
+    want[:, :H, :W] = np.asarray(m_ref)
+    np.testing.assert_array_equal(np.asarray(mp), want)
+    np.testing.assert_array_equal(np.asarray(bgp), np.asarray(bg_ref))
+    occ_want = (
+        want.reshape(N, Hp // 2, 2, Wp // 128, 128).max(axis=(2, 4)) > 0
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(occ), occ_want)
+
+    kwd = dict(
+        alpha=0.07, threshold=30.0, blur_ksize=5, blur_sigma=0.0,
+        median_ksize=3,
+    )
+    d_ref, _ = fused_segment(
+        jnp.asarray(frames), jnp.asarray(bg0), emit="diff", **kwd
+    )
+    d_fw, _ = fused_segment(
+        jnp.asarray(frames), jnp.asarray(bg0), tile=(32, 384),
+        emit="diff", **kwd
+    )
+    np.testing.assert_array_equal(np.asarray(d_fw), np.asarray(d_ref))
+
+
+def test_fused_fullwidth_auto_tile_gate():
+    """The tile=None auto-upgrade to the full-width ring engages ONLY
+    when it preserves fused_tile's padded grid (graph/pipeline.py:400
+    predicts (Hp, Wp) via fused_tile for the padded-occ -> CCL
+    handoff): engaged at 1080p/1920w, declined at W=1024 (ring would
+    need Wp=1280 > 1024) and at tiny heights (ring rows don't fit)."""
+    from tpuva.ops.pallas.fused_segment import _auto_tile, fused_tile
+
+    assert _auto_tile(1080, 1920, 4) == (96, 2048)   # production 1080p
+    assert _auto_tile(208, 1920, 4) == (96, 2048)    # partial bottom row
+    assert _auto_tile(2160, 3840, 4) == (96, 4096)   # 4K
+    assert _auto_tile(208, 1024, 4) == (96, 1024)    # would break Wp=1024
+    assert _auto_tile(1080, 1920, 0) == (96, 1024)   # no halo, no ring
+    assert _auto_tile(1082, 1920, 4) == (96, 1024)   # H % 8 != 0
+    # the engaged grids preserve fused_tile's padded (Hp, Wp)
+    for (h, w) in ((1080, 1920), (208, 1920), (2160, 3840)):
+        th, tw = _auto_tile(h, w, 4)
+        _, _, hp, wp = fused_tile(h, w)
+        assert (-(-h // th) * th, -(-w // tw) * tw) == (hp, wp)
+
+
+def test_fused_fullwidth_auto_upgrade():
+    """tile=None at a grid-preserving wide shape (W=1920: Wp stays
+    2048) must auto-upgrade to the full-width ring grid and stay
+    bit-identical to the explicit old multi-column grid — including a
+    partial bottom row tile (H=208 -> gh=3 of TH=96)."""
+    import jax.numpy as jnp
+
+    from tpuva.ops.pallas.fused_segment import _auto_tile, fused_segment
+
+    rng = np.random.default_rng(12)
+    kw = dict(
+        alpha=0.05, threshold=28.0, blur_ksize=5, blur_sigma=0.0,
+        open_ksize=3, open_shape="rect", close_ksize=3,
+        close_shape="ellipse",
+    )
+    N, H, W = 4, 208, 1920
+    assert _auto_tile(H, W, 4) == (96, 2048), "upgrade must engage here"
+    frames = rng.integers(0, 255, (N, H, W), np.uint8)
+    bg0 = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    m_ref, bg_ref = fused_segment(
+        jnp.asarray(frames), jnp.asarray(bg0), tile=(96, 1024), **kw
+    )
+    mp, bgp, occ = fused_segment(
+        jnp.asarray(frames), jnp.asarray(bg0), padded_occ=True, **kw
+    )
+    assert mp.shape[2] == 2048
+    Hp, Wp = mp.shape[1:]
+    want = np.zeros((N, Hp, Wp), np.uint8)
+    want[:, :H, :W] = np.asarray(m_ref)
+    np.testing.assert_array_equal(np.asarray(mp), want)
+    np.testing.assert_array_equal(np.asarray(bgp), np.asarray(bg_ref))
+    occ_want = (
+        want.reshape(N, Hp // 2, 2, Wp // 128, 128).max(axis=(2, 4)) > 0
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(occ), occ_want)

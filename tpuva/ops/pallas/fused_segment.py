@@ -100,6 +100,34 @@ def fused_tile(H: int, W: int) -> tuple:
     return TH, TW, -(-H // TH) * TH, -(-W // TW) * TW
 
 
+def _auto_tile(H: int, W: int, P: int) -> tuple:
+    """Tile choice for tile=None given the total halo radius P.
+
+    Owned-block dims: 32-row aligned (uint8 DMA sublane tiling for the
+    per-frame mask write-back) x 128-col aligned. The mask output lives
+    in ANY memory space and is written frame-by-frame with
+    double-buffered DMA, so tile size is independent of N.
+
+    Full-width upgrade (round 4): at wide resolutions a single tile
+    column covering the whole image in a circular ring layout (see
+    `fullwidth` in fused_segment) beats the multi-column grid — it
+    removes the per-frame dynamic column roll, the column halo
+    over-read, and the duplicated inter-column halo compute. The
+    upgrade only engages when it PRESERVES fused_tile's padded grid
+    (TWfw == Wp0): callers (graph/pipeline.py:400) predict (Hp, Wp)
+    via fused_tile to plan the padded-occ -> CCL handoff, and a wider
+    ring would both break that prediction and feed dead columns to the
+    CCL. At 1080p (P <= 64) and 4K this is a strict win; at W = 1024
+    the ring would need Wp = 1280 > 1024, so it stays on the old grid.
+    """
+    TH, TW, _, Wp0 = fused_tile(H, W)
+    if P >= 1 and W >= 1024 and W % 128 == 0 and H % 8 == 0:
+        TWfw = _ceil_to(W + 2 * P, 256)
+        if TWfw == Wp0 and H >= _ceil_to(TH + 2 * P, 8) + _ceil_to(P, 32):
+            TW = TWfw
+    return TH, TW
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -177,11 +205,7 @@ def fused_segment(
     reach_close = (close_ksize // 2) * close_iters * 2 if close_ksize else 0
     P = rb + rm + reach_open + reach_close
     if tile is None:
-        # owned-block dims: 32-row aligned (uint8 DMA sublane tiling for
-        # the per-frame mask write-back) x 128-col aligned. The mask
-        # output lives in ANY memory space and is written frame-by-frame
-        # with double-buffered DMA, so tile size is independent of N.
-        TH, TW = fused_tile(H, W)[:2]
+        TH, TW = _auto_tile(H, W, P)
     else:
         TH, TW = tile
     if padded_occ:
@@ -191,9 +215,30 @@ def fused_segment(
     # DMA slice shapes must be (8, 128)-aligned: keep the logical halo P on
     # the top/left and absorb the alignment slack on the bottom/right
     SH = _ceil_to(TH + 2 * P, 8)
-    SW = _ceil_to(TW + 2 * P, 128)
     PRh = SH - TH - P  # bottom slack (>= P)
-    PRw = SW - TW - P
+    # Full-width circular-column mode (round 4): when one tile column
+    # covers the whole width with ring slack for both halos, columns are
+    # stored CIRCULARLY — owned col c at position c, the right
+    # reflect/edge halo in place at [W, SW - P), and the left reflect
+    # halo wrapped to positions [SW - P, SW). Every compute op already
+    # uses circular rolls, so the math is unchanged; output position p
+    # depends on input positions [p - P, p + P] (mod SW), which for the
+    # in-image cols [0, W) lie entirely inside the correctly-initialized
+    # set [0, W + P) u [SW - P, SW) — the module-docstring halo bound,
+    # with the ring seam playing the role of the tile edge. Wins: no
+    # per-frame column reposition roll, no column halo over-read (the
+    # DMA is full raw rows), and SW = TW instead of TW + 2P + slack.
+    fullwidth = (
+        P >= 1 and gw == 1 and TW >= W + 2 * P
+        and H % 8 == 0 and W % 128 == 0
+        and H >= SH + _ceil_to(P, 32)
+    )
+    if fullwidth:
+        SW = TW
+        PRw = 0  # no column slack: the ring IS the tile
+    else:
+        SW = _ceil_to(TW + 2 * P, 128)
+        PRw = SW - TW - P
 
     # Input staging. XLA lowers the u8 batch pre-pad to an elementwise
     # copy at only ~84 GB/s (9.95 ms/batch-128 @1080p — more than the
@@ -212,12 +257,17 @@ def fused_segment(
     # that H - RL is 32-aligned, making the bottom clip land the window
     # exactly at the image edge. Columns likewise with 128 alignment.
     PRE, CPRE = _ceil_to(P, 32), _ceil_to(P, 128)
-    raw_window = (
+    raw_window = fullwidth or (
         P >= 1
         and H % 8 == 0 and W % 128 == 0
         and H >= SH + PRE and W >= SW + CPRE
     )
-    if raw_window:
+    if fullwidth:
+        RMAX = (H - SH - PRE) // 32 * 32   # max row window start
+        RL = H - RMAX                      # static row window length
+        CMAX, CL = 0, W                    # full raw rows, no column halo
+        fp = frames
+    elif raw_window:
         RMAX = (H - SH - PRE) // 32 * 32   # max row window start
         RL = H - RMAX                      # static row window length
         CMAX = (W - SW - CPRE) // 128 * 128
@@ -240,9 +290,16 @@ def fused_segment(
     # the background tile is (H, W) f32 padded ONCE per call — not worth
     # a raw-window path (<4% of the batch's pad traffic was bg)
     bp = jnp.pad(bg0, P, mode="reflect") if P else bg0
-    bp = jnp.pad(
-        bp, ((0, Hp + PRh - H - P), (0, Wp + PRw - W - P)), mode="edge"
-    )
+    if fullwidth:
+        # linear (halo-left) layout, width exactly SW; the kernel rotates
+        # the loaded tile into ring layout once per batch
+        bp = jnp.pad(
+            bp, ((0, Hp + PRh - H - P), (0, Wp - W - 2 * P)), mode="edge"
+        )
+    else:
+        bp = jnp.pad(
+            bp, ((0, Hp + PRh - H - P), (0, Wp + PRw - W - P)), mode="edge"
+        )
 
     kblur = (
         tuple(float(v) for v in gaussian_kernel_1d(blur_ksize, blur_sigma))
@@ -297,12 +354,18 @@ def fused_segment(
         j = pl.program_id(1)
         y0 = i * TH
         x0 = j * TW
+        # column offset of owned pixel 0 inside the compute buffer:
+        # P in the linear layouts, 0 in the full-width ring layout
+        COFF = 0 if fullwidth else P
         if raw_window:
             # aligned raw-frame window start + VMEM reposition amounts
             r0 = 32 * jnp.clip((y0 - PRE) // 32, 0, RMAX // 32)
-            c0 = 128 * jnp.clip((x0 - CPRE) // 128, 0, CMAX // 128)
             ar = (P - y0 + r0) % RL
-            ac = (P - x0 + c0) % CL
+            if fullwidth:
+                c0 = 0  # full raw rows; ring layout needs no column roll
+            else:
+                c0 = 128 * jnp.clip((x0 - CPRE) // 128, 0, CMAX // 128)
+                ac = (P - x0 + c0) % CL
 
         # in-image predicate over the OWNED block: out-of-image mask
         # pixels are forced to 0 so the uncropped padded mask is exactly
@@ -333,9 +396,14 @@ def fused_segment(
                 wsem.at[slot],
             )
 
-        # global image coordinates of every tile pixel (offset by -P)
+        # global image coordinates of every tile pixel (rows: offset by
+        # -P; cols: ring positions >= SW - P hold the wrapped left halo)
         gy = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 0) + y0 - P
-        gx = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 1) + x0 - P
+        iotc = jax.lax.broadcasted_iota(jnp.int32, (SH, SW), 1)
+        if fullwidth:
+            gx = jnp.where(iotc >= SW - P, iotc - SW, iotc)
+        else:
+            gx = iotc + x0 - P
         in_img = (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
 
         # load the background tile (with halo) once
@@ -344,6 +412,11 @@ def fused_segment(
         )
         bdma.start()
         bdma.wait()
+        if fullwidth:
+            # rotate the linear (halo-left) bg tile into ring layout:
+            # position p <- source p + P, wrapping the left halo to the
+            # ring's end (once per batch)
+            bgt[:] = pltpu.roll(bgt[:], (-P) % SW, axis=1)
 
         def frame_dma(slot, t):
             if raw_window:
@@ -379,26 +452,46 @@ def fused_segment(
             def row_of(g, s):
                 return jnp.broadcast_to(g[s:s + 1, :], (SH, SW))
 
-            @pl.when(j == 0)
-            def _():
+            if fullwidth:
+                # the single tile column touches BOTH image edges; ring
+                # positions [W, SW) are rebuilt every frame (they start
+                # as stale/garbage lanes beyond the raw-row store):
+                # [W, W+P) right reflect halo, [W+P, SW-P) seam fill
+                # (don't-care, set for NaN-safety + edge-pad parity),
+                # [SW-P, SW) wrapped left reflect halo. Sources are all
+                # interior columns, never targets.
                 g = fbuf[:]
-                for s in range(P):  # gx = s - P < 0 -> source P - s
-                    g = jnp.where(iot1 == s, col_of(g, 2 * P - s), g)
+                for k in range(P):  # left halo col k - P -> source P - k
+                    g = jnp.where(iot1 == SW - P + k, col_of(g, P - k), g)
+                for gxv in range(W, W + P):  # reflect source 2W - 2 - gxv
+                    g = jnp.where(iot1 == gxv, col_of(g, 2 * W - 2 - gxv), g)
+                g = jnp.where(
+                    (iot1 >= W + P) & (iot1 < SW - P),
+                    col_of(g, W - 1 - P), g,
+                )
                 fbuf[:] = g
+            else:
+                @pl.when(j == 0)
+                def _():
+                    g = fbuf[:]
+                    for s in range(P):  # gx = s - P < 0 -> source P - s
+                        g = jnp.where(iot1 == s, col_of(g, 2 * P - s), g)
+                    fbuf[:] = g
 
-            @pl.when(j == gw - 1)
-            def _():
-                g = fbuf[:]
-                xs = (gw - 1) * TW
-                for gxv in range(W, min(W + P, xs + SW - P)):
-                    s = gxv - xs + P  # reflect: source 2W - 2 - gxv
-                    g = jnp.where(
-                        iot1 == s, col_of(g, 2 * W - 2 - gxv - xs + P), g
-                    )
-                s0 = W + P - xs + P  # edge run: source W - 1 - P
-                if s0 < SW:
-                    g = jnp.where(iot1 >= s0, col_of(g, W - 1 - xs), g)
-                fbuf[:] = g
+                @pl.when(j == gw - 1)
+                def _():
+                    g = fbuf[:]
+                    xs = (gw - 1) * TW
+                    for gxv in range(W, min(W + P, xs + SW - P)):
+                        s = gxv - xs + P  # reflect: source 2W - 2 - gxv
+                        g = jnp.where(
+                            iot1 == s,
+                            col_of(g, 2 * W - 2 - gxv - xs + P), g,
+                        )
+                    s0 = W + P - xs + P  # edge run: source W - 1 - P
+                    if s0 < SW:
+                        g = jnp.where(iot1 >= s0, col_of(g, W - 1 - xs), g)
+                    fbuf[:] = g
 
             @pl.when(i == 0)
             def _():
@@ -455,14 +548,19 @@ def fused_segment(
             frame_dma(slot, t).wait()
             if raw_window:
                 # reposition the aligned raw window so position (s, c)
-                # holds global pixel (y0 - P + s, x0 - P + c), then let
-                # edge tiles rebuild the reflect/edge halo in-place.
-                # Mosaic has no direct u8 <-> f32 cast (hop through
-                # int32); dynamic rotates need 32-bit data.
+                # holds global pixel (y0 - P + s, x0 - P + c) — rows
+                # only in full-width mode (ring columns sit at their
+                # global positions already) — then rebuild the
+                # reflect/edge halo in-place. Mosaic has no direct
+                # u8 <-> f32 cast (hop through int32); dynamic rotates
+                # need 32-bit data.
                 b = ftile[slot].astype(jnp.int32)
                 b = pltpu.roll(b, ar, axis=0)
-                b = pltpu.roll(b, ac, axis=1)
-                fbuf[:] = b[0:SH, 0:SW].astype(jnp.float32)
+                if fullwidth:
+                    fbuf[:, 0:CL] = b[0:SH, :].astype(jnp.float32)
+                else:
+                    b = pltpu.roll(b, ac, axis=1)
+                    fbuf[:] = b[0:SH, 0:SW].astype(jnp.float32)
                 fix_borders()
                 f = fbuf[:]
             else:
@@ -538,7 +636,7 @@ def fused_segment(
                 mbuf[slot] = jnp.where(
                     inown,
                     jnp.clip(
-                        jnp.rint(d[P:P + TH, P:P + TW]), 0.0, 255.0
+                        jnp.rint(d[P:P + TH, COFF:COFF + TW]), 0.0, 255.0
                     ).astype(jnp.int32),
                     0,
                 ).astype(jnp.uint8)
@@ -565,7 +663,7 @@ def fused_segment(
                     m = morph(m, close_rows, True, close_iters)
                 mbuf[slot] = jnp.where(
                     inown,
-                    (m[P:P + TH, P:P + TW] * 255.0).astype(jnp.int32),
+                    (m[P:P + TH, COFF:COFF + TW] * 255.0).astype(jnp.int32),
                     0,
                 ).astype(jnp.uint8)
 
@@ -593,7 +691,7 @@ def fused_segment(
         if N >= 2:
             mask_wr(N % 2, N - 2).wait()
         mask_wr((N - 1) % 2, N - 1).wait()
-        bgout_ref[:, :] = bgt[P:P + TH, P:P + TW]
+        bgout_ref[:, :] = bgt[P:P + TH, COFF:COFF + TW]
 
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
