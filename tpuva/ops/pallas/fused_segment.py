@@ -459,17 +459,25 @@ def fused_segment(
                 # [W, W+P) right reflect halo, [W+P, SW-P) seam fill
                 # (don't-care, set for NaN-safety + edge-pad parity),
                 # [SW-P, SW) wrapped left reflect halo. Sources are all
-                # interior columns, never targets.
-                g = fbuf[:]
-                for k in range(P):  # left halo col k - P -> source P - k
-                    g = jnp.where(iot1 == SW - P + k, col_of(g, P - k), g)
-                for gxv in range(W, W + P):  # reflect source 2W - 2 - gxv
-                    g = jnp.where(iot1 == gxv, col_of(g, 2 * W - 2 - gxv), g)
-                g = jnp.where(
-                    (iot1 >= W + P) & (iot1 < SW - P),
-                    col_of(g, W - 1 - P), g,
-                )
-                fbuf[:] = g
+                # interior columns, never targets — so the whole rebuild
+                # operates on ONLY the (SH, SW - W) target block (a
+                # lane-aligned slice: W % 128 == 0, SW % 256 == 0),
+                # 1/16th the full-buffer selects the first cut used
+                # (this was the largest VPU block of the base kernel).
+                TGT = SW - W
+
+                def colb(s):
+                    return jnp.broadcast_to(fbuf[:, s:s + 1], (SH, TGT))
+
+                iotb = jax.lax.broadcasted_iota(jnp.int32, (SH, TGT), 1)
+                blk = colb(W - 1 - P)  # seam fill (edge-pad parity)
+                for k in range(P):  # wrapped left halo <- source P - k
+                    blk = jnp.where(iotb == TGT - P + k, colb(P - k), blk)
+                for gxv in range(W, W + P):  # reflect 2W - 2 - gxv
+                    blk = jnp.where(
+                        iotb == gxv - W, colb(2 * W - 2 - gxv), blk
+                    )
+                fbuf[:, W:SW] = blk
             else:
                 @pl.when(j == 0)
                 def _():
