@@ -104,7 +104,7 @@ def main():
     )
     from tpuva.ops.label import _stats_from_compact
     from tpuva.ops.pallas.ccl import label_components_tiled_raw
-    from tpuva.ops.pallas.fused_segment import _ceil_to, fused_tile
+    from tpuva.ops.pallas.fused_segment import _auto_tile, _ceil_to
 
     cfg = build_config()
     H, W = 1080, 1920
@@ -120,16 +120,26 @@ def main():
         P += (cfg.morph_open.ksize // 2) * cfg.morph_open.iterations * 2
     if cfg.morph_close:
         P += (cfg.morph_close.ksize // 2) * cfg.morph_close.iterations * 2
-    TH, TW, Hp, Wp = fused_tile(H, W)
-    SH, SW = _ceil_to(TH + 2 * P, 8), _ceil_to(TW + 2 * P, 128)
-    gh, gw = Hp // TH, Wp // TW
+    # mirror fused_segment's actual tiling decision (incl. the round-4
+    # full-width ring mode: one tile column, circular halos, SW = TW)
+    TH, TW = _auto_tile(H, W, P)
+    gh, gw = -(-H // TH), -(-W // TW)
+    Hp, Wp = gh * TH, gw * TW
+    SH = _ceil_to(TH + 2 * P, 8)
+    PRE, CPRE = _ceil_to(P, 32), _ceil_to(P, 128)
+    fullwidth = (
+        P >= 1 and gw == 1 and TW >= W + 2 * P
+        and H % 8 == 0 and W % 128 == 0
+        and H >= SH + PRE
+    )
+    SW = TW if fullwidth else _ceil_to(TW + 2 * P, 128)
     # raw-window mode (round 4): no pre-pad; each tile DMAs an ALIGNED
     # over-sized window straight from the raw batch (static RL x CL,
     # sized so the clipped start always lands the window in-image —
-    # same formulas as fused_segment.fused_segment)
-    PRE, CPRE = _ceil_to(P, 32), _ceil_to(P, 128)
+    # same formulas as fused_segment.fused_segment); ring mode reads
+    # full raw rows (CL = W, no column over-read)
     RL = H - (H - SH - PRE) // 32 * 32
-    CL = W - (W - SW - CPRE) // 128 * 128
+    CL = W if fullwidth else W - (W - SW - CPRE) // 128 * 128
     Hc, Wc = -(-H // 64) * 64, -(-W // 256) * 256
 
     stages = []
@@ -245,7 +255,8 @@ def main():
         "device": str(jax.devices()[0]),
         "peak_hbm_gbps_assumed": PEAK_HBM_GBPS,
         "fused_grid": {"TH": TH, "TW": TW, "SH": SH, "SW": SW,
-                       "raw_window": [RL, CL], "halo": P},
+                       "raw_window": [RL, CL], "halo": P,
+                       "fullwidth_ring": fullwidth},
         "ccl_grid": [Hc, Wc],
         "stages": stages,
         "full_staged_ms": round(t * 1e3, 3),
