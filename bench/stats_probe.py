@@ -102,11 +102,15 @@ def main():
     sync(cbuf)
     C = 32
 
-    # ---- full stage ----
-    t_full, ref = timeit(
-        lambda cb, s: _stats_from_compact(cb, s, H, W, max_components=C),
-        (cbuf, so),
-    )
+    # ---- full stage (production shape: the zeros "labels" placeholder
+    # is dead inside _post_mask_stage; timing the bare jit would add a
+    # (N, H, W) int32 zero write (~2.6 ms) the pipeline never pays) ----
+    @jax.jit
+    def stats_prod(cb, s):
+        st = _stats_from_compact(cb, s, H, W, max_components=C)
+        return {k: v for k, v in st.items() if k != "labels"}
+
+    t_full, ref = timeit(stats_prod, (cbuf, so))
     print(f"full _stats_from_compact : {t_full*1e3:8.2f} ms", flush=True)
 
     # ---- replica, split at the seams (mirrors label.py:1152-1310,
@@ -294,8 +298,7 @@ def main():
         ("+rootflags", upto_rootflags),
         ("+roottable", upto_roottable),
         ("+limbs", upto_limbs),
-        ("+assemble(full)", lambda cb, s: _stats_from_compact(
-            cb, s, H, W, max_components=C)),
+        ("+assemble(full)", stats_prod),
     ]:
         t_c, _ = timeit(fn, (compact, strip_occ), iters=16, warmup=2)
         print(
