@@ -267,6 +267,20 @@ def fused_segment(
         RL = H - RMAX                      # static row window length
         CMAX, CL = 0, W                    # full raw rows, no column halo
         fp = frames
+        # The reposition roll amount ar = (P - y0 + r0) % RL is a pure
+        # function of the grid row i, taking only a handful of distinct
+        # values (3 at 1080p: top tile, interior, bottom-clipped). A
+        # dynamic-amount sublane roll costs ~2.5x a static one
+        # (bench/repos_probe.py: 1.67 vs 0.66 us per roll+add on the
+        # window shape), so when the value set is small the kernel
+        # dispatches STATIC rolls under a pl.when chain instead.
+        ar_tab = []
+        for _i in range(gh):
+            _y0 = _i * TH
+            _r0 = 32 * min(max((_y0 - PRE) // 32, 0), RMAX // 32)
+            ar_tab.append((P - _y0 + _r0) % RL)
+        ar_groups = sorted(set(ar_tab))
+        static_ar = len(ar_groups) <= 6
     elif raw_window:
         RMAX = (H - SH - PRE) // 32 * 32   # max row window start
         RL = H - RMAX                      # static row window length
@@ -563,10 +577,31 @@ def fused_segment(
                 # u8 <-> f32 cast (hop through int32); dynamic rotates
                 # need 32-bit data.
                 b = ftile[slot].astype(jnp.int32)
-                b = pltpu.roll(b, ar, axis=0)
-                if fullwidth:
+                if fullwidth and static_ar:
+                    # static-amount rolls dispatched on the grid row
+                    # (same ar values as the dynamic roll — see the
+                    # ar_tab note above; bit-identical by construction)
+                    for av in ar_groups:
+                        sel = None
+                        for ii in range(gh):
+                            if ar_tab[ii] != av:
+                                continue
+                            e = i == ii
+                            sel = e if sel is None else (sel | e)
+
+                        @pl.when(sel)
+                        def _(av=av):
+                            bb = (
+                                pltpu.roll(b, av, axis=0) if av else b
+                            )
+                            fbuf[:, 0:CL] = bb[0:SH, :].astype(
+                                jnp.float32
+                            )
+                elif fullwidth:
+                    b = pltpu.roll(b, ar, axis=0)
                     fbuf[:, 0:CL] = b[0:SH, :].astype(jnp.float32)
                 else:
+                    b = pltpu.roll(b, ar, axis=0)
                     b = pltpu.roll(b, ac, axis=1)
                     fbuf[:] = b[0:SH, 0:SW].astype(jnp.float32)
                 fix_borders()
