@@ -6,10 +6,22 @@ host; here the tracker is a static-shape pytree living on device, updated
 inside the scan over the frame axis so tracker state never leaves the chip
 (BASELINE.json:5 "tracker state stays on-device").
 
+Layout invariant (perf): the table mirrors the reference's LIST directly —
+active tracks occupy exactly slots [0, n_active) in ascending-id
+(= insertion) order; free slots hold pos=0, tid=0, missed=0. Deaths
+compact the survivors down (paid only on death frames via lax.cond — the
+common frame skips it entirely) and births append at the end, so the
+per-frame rank/sort/permute that an arbitrary-slot table would need to
+recover the reference's cost-row order disappears from the hot scan body.
+init_track_state establishes the invariant; track_update preserves it.
+(The TrackState slot layout is internal: checkpoints store it wholesale
+and restore it wholesale, so the invariant survives kill+resume, but
+checkpoints from builds predating it are not interchangeable.)
+
 Semantics replicate refimpl.tracker.Tracker exactly, including:
 - cost rows ordered by track insertion order (track ids are monotonically
-  increasing, so sorting active rows by id reproduces the reference's
-  list order — this matters for greedy tie-breaks);
+  increasing, and the layout invariant keeps slots in id order — this
+  matters for greedy tie-breaks);
 - deaths (missed >= death_patience after aging) free their slots *before*
   births are placed, matching the reference's list compaction;
 - births take detections in detection order while capacity remains;
@@ -23,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tpuva.track.assign import BIG, greedy_assign, hungarian_assign
 
@@ -70,36 +83,37 @@ def track_update(
     cheap age-and-reap branch via lax.cond."""
     T = state.pos.shape[0]
     D = dets.shape[0]
-    INT_MAX = jnp.int32(2**31 - 1)
     ti = jnp.arange(T, dtype=jnp.int32)
 
-    def update_with_dets(state: TrackState):
-        # ---- reference list order (active rows sorted by id): ids are
-        # unique among active slots, so a comparison-count rank replaces
-        # argsort; ordmat[r, i] == (slot i has rank r).
-        key = jnp.where(state.active, state.tid, INT_MAX)
-        before = (key[None, :] < key[:, None]) | (
-            (key[None, :] == key[:, None]) & (ti[None, :] < ti[:, None])
-        )
-        rank = jnp.sum(before, axis=1).astype(jnp.int32)  # (T,)
-        ordmat = rank[None, :] == ti[:, None]  # (T_sorted, T_slot)
-        order = jnp.argmax(ordmat, axis=1).astype(jnp.int32)
-        n_active = jnp.sum(state.active.astype(jnp.int32))
-        active_sorted = ti < n_active
-        pos_sorted = ordmat.astype(jnp.float32) @ state.pos  # exact 0/1 dot
+    def compact(still, pos, tid, missed):
+        """Permute survivors down to slots [0, n_still) preserving order
+        (the reference's list compaction). 0/1 one-hot contraction — the
+        f32 matmul sums exactly one term per output row, so positions move
+        bit-exactly; freed slots come out as pos=0/tid=0/missed=0, which
+        re-establishes the free-slot part of the layout invariant."""
+        s32 = still.astype(jnp.int32)
+        srank = jnp.cumsum(s32) - s32  # (T,) 0-based target of survivors
+        om = still[None, :] & (srank[None, :] == ti[:, None])  # (new, old)
+        pos_c = om.astype(jnp.float32) @ pos
+        tid_c = jnp.sum(jnp.where(om, tid[None, :], 0), axis=1)
+        missed_c = jnp.sum(jnp.where(om, missed[None, :], 0), axis=1)
+        return pos_c, tid_c.astype(jnp.int32), missed_c.astype(jnp.int32)
 
-        # ---- cost matrix in sorted order
-        dx = pos_sorted[:, 0:1] - dets[None, :, 0].reshape(1, D)
-        dy = pos_sorted[:, 1:2] - dets[None, :, 1].reshape(1, D)
+    def update_with_dets(state: TrackState):
+        # layout invariant (module docstring): active slots are exactly
+        # [0, n_active) in id order, so the cost rows ARE the reference's
+        # list order — no rank/sort/permute in the common frame.
+        n_active = jnp.sum(state.active.astype(jnp.int32))
+
+        # ---- cost matrix (slot order == reference list order)
+        dx = state.pos[:, 0:1] - dets[None, :, 0].reshape(1, D)
+        dy = state.pos[:, 1:2] - dets[None, :, 1].reshape(1, D)
         cost = jnp.sqrt(dx * dx + dy * dy).reshape(T, D)
-        pairable = active_sorted[:, None] & det_valid[None, :]
+        pairable = state.active[:, None] & det_valid[None, :]
         cost = jnp.where(pairable, cost, BIG)
         assign = hungarian_assign if assigner == "hungarian" else greedy_assign
-        row_for_det_sorted = assign(cost, max_dist)  # (D,) in sorted rows
-        det_matched = row_for_det_sorted >= 0
-        slot_for_det = jnp.where(
-            det_matched, order[jnp.maximum(row_for_det_sorted, 0)], -1
-        ).astype(jnp.int32)
+        slot_for_det = assign(cost, max_dist)  # (D,) slot == list index
+        det_matched = slot_for_det >= 0
 
         # ---- matched updates (eq2[t, j] == slot t matched detection j)
         eq2 = (slot_for_det[None, :] == ti[:, None]) & det_matched[None, :]
@@ -112,21 +126,31 @@ def track_update(
             jnp.where(state.active, state.missed + 1, state.missed),
         )
 
-        # ---- deaths (free slots before births, like the reference's
-        # list compaction)
-        still = state.active & (missed < death_patience)
+        # ---- trajectory rows for matches: a matched slot always
+        # survives (missed just reset to 0), so its tid is final here
+        row_tid_matched = jnp.sum(
+            jnp.where(eq2, state.tid[:, None], 0), axis=0
+        )
 
-        # ---- births: the r-th birthable detection takes the r-th free slot
+        # ---- deaths compact the survivors down (free slots before
+        # births, like the reference's list compaction); no-death frames
+        # skip the permutation entirely
+        still = state.active & (missed < death_patience)
+        n_still = jnp.sum(still.astype(jnp.int32))
+        pos, tid, missed = lax.cond(
+            n_still < n_active,
+            lambda a: compact(still, *a),
+            lambda a: a,
+            (pos, state.tid, missed),
+        )
+
+        # ---- births: the r-th birthable detection appends at slot
+        # n_still + r - 1 (ids are monotone, so appending preserves the
+        # id-sorted invariant)
         birth_det = det_valid & ~det_matched
         birth_rank = jnp.cumsum(birth_det.astype(jnp.int32))  # (D,) 1-based
-        free = ~still
-        free_rank = jnp.cumsum(free.astype(jnp.int32))  # (T,) 1-based
-        n_free = free_rank[-1] if T else jnp.int32(0)
-        can_birth = birth_det & (birth_rank <= n_free)
-        # first slot t with free_rank[t] >= birth_rank[j]
-        slot_for_birth = jnp.sum(
-            free_rank[None, :] < birth_rank[:, None], axis=1
-        ).astype(jnp.int32)
+        can_birth = birth_det & (n_still + birth_rank <= T)
+        slot_for_birth = n_still + birth_rank - 1
         new_tid_for_det = jnp.where(
             can_birth, state.next_id - 1 + birth_rank, 0
         ).astype(jnp.int32)
@@ -136,39 +160,46 @@ def track_update(
         pos = jnp.where(
             has_b[:, None], bo.astype(jnp.float32) @ dets[:, :2], pos
         )
-        tid = jnp.where(still, state.tid, 0)
         tid = jnp.where(
             has_b,
             jnp.sum(jnp.where(bo, new_tid_for_det[None, :], 0), axis=1),
             tid,
         )
-        # births land on non-still slots, whose missed is already zeroed
-        missed = jnp.where(still, missed, 0)
-        active = still | has_b
-        next_id = state.next_id + jnp.sum(can_birth.astype(jnp.int32))
+        # births land past n_still, where compaction (or the standing
+        # invariant) already zeroed missed
+        n_births = jnp.sum(can_birth.astype(jnp.int32))
+        active = ti < n_still + n_births
+        next_id = state.next_id + n_births
 
         new_state = TrackState(
             pos=pos, tid=tid, missed=missed, active=active, next_id=next_id
         )
 
         # ---- trajectory rows, one per matched-or-birthed detection
-        row_tid = jnp.where(
-            det_matched,
-            jnp.sum(jnp.where(eq2, tid[:, None], 0), axis=0),
-            new_tid_for_det,
-        )
+        row_tid = jnp.where(det_matched, row_tid_matched, new_tid_for_det)
         row_valid = det_matched | can_birth
         return new_state, row_tid, row_valid
 
     def update_no_dets(state: TrackState):
-        # age active tracks, reap deaths; no assignment, no births
+        # age active tracks, reap deaths (compacting, same as above);
+        # no assignment, no births
         missed = jnp.where(state.active, state.missed + 1, state.missed)
         still = state.active & (missed < death_patience)
+        n_active = jnp.sum(state.active.astype(jnp.int32))
+        n_still = jnp.sum(still.astype(jnp.int32))
+        pos, tid, missed = lax.cond(
+            n_still < n_active,
+            lambda a: compact(still, *a),
+            lambda a: a,
+            (state.pos, state.tid, missed),
+        )
+        # free slots already hold missed=0: compaction zeroes them in the
+        # death branch, the standing invariant covers the no-death branch
         new_state = TrackState(
-            pos=state.pos,
-            tid=jnp.where(still, state.tid, 0),
-            missed=jnp.where(still, missed, 0),
-            active=still,
+            pos=pos,
+            tid=tid,
+            missed=missed,
+            active=ti < n_still,
             next_id=state.next_id,
         )
         return new_state, jnp.zeros((D,), jnp.int32), jnp.zeros((D,), bool)
