@@ -407,17 +407,21 @@ def main():
 
     y0, x0, CS, M = H // 3, W // 3, 64, 4  # crop + blur margin
     bg64 = None
-    k = cv2.getGaussianKernel(cfg.blur.ksize, cfg.blur.sigma)
-    k2 = (k @ k.T).astype(np.float64)
+    ksz = (cfg.blur.ksize, cfg.blur.ksize)
     a = np.float64(cfg.background.alpha)
     CHUNK = 512
     for t in range(0, T, CHUNK):
         crop = render_frames_np(
             H, W, t, min(CHUNK, T - t),
             region=(y0 - M, x0 - M, CS + 2 * M, CS + 2 * M),
-        ).astype(np.float64)
+        )
         for i in range(crop.shape[0]):
-            blurred = cv2.filter2D(crop[i], -1, k2)[M:-M, M:-M]
+            # cv2's u8 fixed-point blur: the SAME quantized frames the
+            # device recurrence sees (ops.gaussian_blur_u8 is bit-exact
+            # to it), so this measures pure f32-vs-f64 accumulation drift
+            blurred = cv2.GaussianBlur(crop[i], ksz, cfg.blur.sigma)[
+                M:-M, M:-M
+            ].astype(np.float64)
             if bg64 is None:
                 bg64 = blurred.copy()
             else:

@@ -3,18 +3,17 @@ refimpl CPU oracle and the batched device path on the same synthetic
 scene (SURVEY.md §4.2 property-test strategy, generalizing the
 hand-picked e2e configs).
 
-Two families, matching the framework's stated exactness contract:
+Two families, both now fully bit-exact vs the refimpl/cv2 oracle:
 
 - blur=None: every op on the path (median, threshold incl. Otsu,
   morphology, CCL+stats, tracker) is bit-reproducible vs cv2 — masks
   bit-equal, rows id-exact.
-- blur on: cv2's uint8 GaussianBlur is fixed-point (<=3 LSB off float,
-  SURVEY §8) and refimpl re-quantizes to uint8 between stages while the
-  device path carries float32, so threshold-boundary pixels may flip
-  (CLAUDE.md: "blur within float associativity"). The contract is the
-  BASELINE 1 px centroid tolerance: flips must stay a trace fraction of
-  the mask, shared rows must agree <=1 px, and boundary detections may
-  appear/vanish only at a trace rate.
+- blur on: the device path runs ops.gaussian_blur_u8, a bit-exact
+  emulation of cv2's uint8 fixed-point GaussianBlur (error-diffusion
+  quantized taps, single half-away rounding), and re-quantizes to u8
+  before the background model like refimpl does — so masks are
+  bit-equal and rows id-exact here too (upgraded from the former
+  <=1 px rounding-band contract).
 
 Seeded, so failures reproduce; keep the config count small — every
 distinct config is a fresh XLA compile on the CI box.
@@ -96,10 +95,11 @@ def test_random_config_bit_exact_without_blur(seed):
 
 
 @pytest.mark.parametrize("seed", range(4))
-def test_random_config_with_blur_within_rounding_contract(seed):
-    """With blur, divergence must stay inside the documented fixed-point
-    rounding band: trace mask flips, shared rows <=1 px, trace rate of
-    boundary-detection births/deaths."""
+def test_random_config_with_blur_bit_exact(seed):
+    """With blur too, the device path is now bit-exact: gaussian_blur_u8
+    reproduces cv2's uint8 fixed-point blur (error-diffusion quantized
+    taps + single half-away rounding) exactly, so masks are bit-equal
+    and rows id-exact — the former <=1 px rounding band is retired."""
     rng = np.random.default_rng(2000 + seed)
     cfg = random_config(rng, with_blur=True)
     clip, _, _, plate = fuzz_scene(seed)
@@ -107,21 +107,5 @@ def test_random_config_with_blur_within_rounding_contract(seed):
     rows, _, masks = process_clip(
         clip, cfg, background0=plate, return_masks=True
     )
-    rm = np.stack(ref.masks)
-    flip_frac = (masks != rm).mean()
-    assert flip_frac < 1e-3, f"mask flip fraction {flip_frac}"
-
-    ra = {(int(r[0]), int(r[1])): (r[2], r[3]) for r in ref.rows}
-    rb = {(int(r[0]), int(r[1])): (r[2], r[3]) for r in rows}
-    common = set(ra) & set(rb)
-    n = max(len(ra), len(rb), 1)
-    assert len(common) >= 0.98 * n, (
-        f"row sets diverged beyond boundary rate: {len(ra)} vs {len(rb)}, "
-        f"common {len(common)}"
-    )
-    assert common, "no common rows — test is vacuous"
-    err = max(
-        max(abs(ra[k][0] - rb[k][0]), abs(ra[k][1] - rb[k][1]))
-        for k in common
-    )
-    assert err <= 1.0, f"centroid error {err} breaks the 1 px contract"
+    np.testing.assert_array_equal(masks, np.stack(ref.masks))
+    assert_rows_match(ref.rows, rows)

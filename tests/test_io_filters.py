@@ -176,9 +176,8 @@ def test_filter_monochrome_vs_cv2():
 def test_filter_blur_vs_cv2():
     clip = gray_clip()
     v = FilterBlur(VideoMemory(clip), sigma=0.0, ksize=5)
-    ref = cv2.GaussianBlur(clip[4].astype(np.float32), (5, 5), 0)
-    got = v[4]
-    assert np.abs(got.astype(np.float32) - ref).max() <= 3  # uint8 rounding
+    # uint8 input takes cv2's uint8 fixed-point path — bit-exact
+    np.testing.assert_array_equal(v[4], cv2.GaussianBlur(clip[4], (5, 5), 0))
 
 
 def test_filter_median_exact():

@@ -36,6 +36,36 @@ def test_gaussian_blur_float32(ksize, sigma):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-3)
 
 
+@pytest.mark.parametrize(
+    "ksize,sigma",
+    [
+        (3, 0.0), (5, 0.0), (7, 0.0), (9, 0.0), (11, 0.0), (13, 0.0),
+        (3, 0.8), (5, 1.0), (5, 1.5), (7, 2.0), (9, 2.5), (13, 3.0),
+        (21, 4.0),
+    ],
+)
+def test_gaussian_blur_u8_bit_exact(ksize, sigma):
+    """gaussian_blur_u8 == cv2.GaussianBlur on uint8, BIT-EXACT: cv2's
+    fixed-point path is error-diffusion tap quantization + one half-away
+    rounding, both reproduced exactly in f32 (ops.u8_gaussian_taps)."""
+    img = rand_u8(97, 131, seed=ksize * 100 + int(sigma * 10))
+    ref = cv2.GaussianBlur(img, (ksize, ksize), sigma)
+    out = np.asarray(
+        ops.gaussian_blur_u8(jnp.asarray(img, jnp.float32), ksize, sigma)
+    )
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out.astype(np.uint8), ref)
+    # values are exact integers in [0, 255]
+    assert float(np.abs(out - np.rint(out)).max()) == 0.0
+
+
+def test_u8_gaussian_taps_sum_and_symmetry():
+    for ksize, sigma in [(5, 1.0), (7, 2.0), (9, 2.5), (15, 0.0)]:
+        taps = ops.filters.u8_gaussian_taps(ksize, sigma)
+        assert taps.sum() == 256
+        np.testing.assert_array_equal(taps, taps[::-1])
+
+
 def test_gaussian_blur_batched_matches_single():
     clip = np.stack([rand_u8(40, 56, s) for s in range(4)]).astype(np.float32)
     out = np.asarray(ops.gaussian_blur(jnp.asarray(clip), 5, 0.0))

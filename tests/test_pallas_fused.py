@@ -42,6 +42,36 @@ def test_fused_matches_jnp_path_end_to_end():
     )
 
 
+def test_fused_non_binomial_blur_matches_jnp_path():
+    """The kernel's integer-tap correlation path (non-binomial kernels:
+    k=7 fixed table, and sigma>0 error-diffusion taps) must stay
+    bit-identical to the jnp twin's gaussian_blur_u8, including the
+    final floor((acc + 2^15) >> 16) re-quantization."""
+    clip, _, plate = moving_disk_clip(
+        h=100, w=140, frames=16, radius=8, noise_sigma=3.0, seed=9
+    )
+    for blur in (BlurConfig(ksize=7, sigma=0.0), BlurConfig(ksize=5, sigma=1.5)):
+        cfg = PipelineConfig(
+            background=BackgroundConfig(alpha=0.05),
+            blur=blur,
+            morph_open=MorphConfig(ksize=3, shape="rect"),
+            segment=SegmentConfig(threshold=35.0, min_area=20, max_blobs=4),
+            track=TrackConfig(max_dist=60.0, death_patience=5, max_tracks=8),
+            batch=8,
+        )
+        r_jnp, c_jnp, m_jnp = process_clip(
+            clip, cfg, background0=plate, return_masks=True
+        )
+        r_pls, c_pls, m_pls = process_clip(
+            clip, cfg, background0=plate, return_masks=True, use_pallas=True
+        )
+        np.testing.assert_array_equal(m_pls, m_jnp)
+        assert r_pls == r_jnp
+        np.testing.assert_array_equal(
+            np.asarray(c_pls.bg), np.asarray(c_jnp.bg)
+        )
+
+
 def test_fused_first_frame_bg_init():
     clip, _, _ = moving_disk_clip(h=64, w=96, frames=16, radius=6, seed=4)
     cfg = PipelineConfig(

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuva.io.base import VideoBase
-from tpuva.ops import gaussian_blur, median_blur
+from tpuva.ops import gaussian_blur, gaussian_blur_u8, median_blur
 from tpuva.ops.background import background_update
 
 # BGR -> gray weights (OpenCV convention: x is BGR channel order)
@@ -237,15 +237,18 @@ class FilterBlur(FilterBase):
         super().__init__(source)
 
     def batch_transform(self, batch, carry):
+        # uint8 input: cv2's fixed-point u8 path, bit-exact
+        # (ops.gaussian_blur_u8); float input: cv2's float path.
+        blur = gaussian_blur_u8 if batch.dtype == jnp.uint8 else gaussian_blur
         x = batch.astype(jnp.float32)
         if x.ndim == 4:  # color: blur per channel
             x = jnp.moveaxis(x, -1, 1)
-            x = gaussian_blur(x, self.ksize, self.sigma)
+            x = blur(x, self.ksize, self.sigma)
             x = jnp.moveaxis(x, 1, -1)
         else:
-            x = gaussian_blur(x, self.ksize, self.sigma)
+            x = blur(x, self.ksize, self.sigma)
         if batch.dtype == jnp.uint8:
-            return _round_u8(x)
+            return x.astype(jnp.uint8)  # already exact integers in [0,255]
         return x
 
 

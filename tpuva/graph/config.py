@@ -12,7 +12,10 @@ the TPU pipeline (tpuva.graph.pipeline) and the NumPy/OpenCV oracle
 Canonical pipeline order (pinned; both implementations follow it exactly):
 
   1. input frame (grayscale uint8) -> float32
-  2. optional Gaussian blur          (BlurConfig)
+  2. optional Gaussian blur          (BlurConfig) — cv2's UINT8 path:
+     the output re-quantizes to u8 values before anything downstream
+     sees it (refimpl: cv2.GaussianBlur on the u8 frame; device:
+     ops.gaussian_blur_u8, a bit-exact fixed-point emulation)
   3. optional median filter          (MedianConfig)
   4. background update  B <- (1-alpha)*B + alpha*F   [before diff, as the
      reference's pass-1 loop does: SURVEY.md §3.2]

@@ -30,7 +30,7 @@ from tpuva.graph.config import PipelineConfig
 from tpuva.ops import (
     background_update,
     connected_components_with_stats,
-    gaussian_blur,
+    gaussian_blur_u8,
     median_blur,
     morph_close,
     morph_open,
@@ -66,10 +66,17 @@ def init_carry(
 
 
 def filter_batch(cfg: PipelineConfig, frames: jnp.ndarray) -> jnp.ndarray:
-    """The stateless filter prefix (blur, median) on a float32 batch."""
+    """The stateless filter prefix (blur, median) on a float32 batch.
+
+    Blur runs as gaussian_blur_u8: the reference feeds cv2 uint8 frames,
+    so the blur output re-quantizes to u8 (bit-exact fixed-point
+    emulation) before the background model / diff / threshold see it —
+    this is what makes blur-enabled configs mask-bit-equal to refimpl.
+    Median of integer-valued floats then selects the same values cv2's
+    u8 median does, so no further quantization is needed."""
     f = frames
     if cfg.blur is not None:
-        f = gaussian_blur(f, cfg.blur.ksize, cfg.blur.sigma)
+        f = gaussian_blur_u8(f, cfg.blur.ksize, cfg.blur.sigma)
     if cfg.median is not None:
         f = median_blur(f, cfg.median.ksize)
     return f

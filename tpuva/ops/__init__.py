@@ -2,6 +2,7 @@ from tpuva.ops.filters import (  # noqa: F401
     dilate,
     erode,
     gaussian_blur,
+    gaussian_blur_u8,
     gaussian_kernel_1d,
     histogram_u8,
     median_blur,

@@ -9,7 +9,10 @@ Pinned semantics, locked by golden tests against local cv2 5.0.0:
 - Gaussian: separable; sigma<=0 selects OpenCV's hardcoded binomial kernels
   for ksize<=7 and the 0.3*((k-1)*0.5-1)+0.8 formula above; border
   REFLECT_101 (numpy/jnp pad mode 'reflect'); row (W) pass first, then
-  column (H), as cv2.sepFilter2D does.
+  column (H), as cv2.sepFilter2D does. gaussian_blur is cv2's FLOAT
+  path; gaussian_blur_u8 is cv2's UINT8 fixed-point path, BIT-EXACT
+  (error-diffusion tap quantization + single half-away rounding) — the
+  pipeline uses the latter, as the reference hands cv2 uint8 frames.
 - Median: exact k x k selection, border REPLICATE ('edge').
 - Morphology: min/max over the structuring element; border acts as the
   identity element (+inf for erode, -inf for dilate) so border pixels never
@@ -40,16 +43,48 @@ _SMALL_GAUSSIAN = {
 }
 
 
-def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
-    """Matches cv2.getGaussianKernel(ksize, sigma) for odd ksize."""
+def _gaussian_kernel_1d_f64(ksize: int, sigma: float) -> np.ndarray:
+    """float64 kernel (the quantizer below needs full precision)."""
     assert ksize % 2 == 1 and ksize >= 1
     if sigma <= 0 and ksize in _SMALL_GAUSSIAN:
-        return np.asarray(_SMALL_GAUSSIAN[ksize], np.float32)
+        return np.asarray(_SMALL_GAUSSIAN[ksize], np.float64)
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
     k = np.exp(-(x * x) / (2.0 * sigma * sigma))
-    return (k / k.sum()).astype(np.float32)
+    return k / k.sum()
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """Matches cv2.getGaussianKernel(ksize, sigma) for odd ksize."""
+    return _gaussian_kernel_1d_f64(ksize, sigma).astype(np.float32)
+
+
+def u8_gaussian_taps(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv2's 8-bit fixed-point Gaussian taps (integers summing to 256).
+
+    OpenCV's bit-exact uint8 GaussianBlur quantizes the float kernel to
+    8 fractional bits by ERROR DIFFUSION from the outermost tap inward
+    (each rounding error carries into the next tap's rounding), with the
+    center tap absorbing the final remainder so the taps sum to exactly
+    256. Recovered empirically against local cv2 5.0.0: this (and only
+    this — plain round/largest-remainder both fail) reproduces
+    cv2.GaussianBlur on uint8 bit-exactly over a 1045-case sweep of
+    ksize in [3, 31] x sigma in [0, 10] (SURVEY.md §8 methodology).
+    For the sigma<=0 fixed tables (ksize <= 9) the scaled taps are
+    already integers and diffusion is a no-op.
+    """
+    kern = _gaussian_kernel_1d_f64(ksize, sigma)
+    r = ksize // 2
+    ki = np.zeros(ksize, np.int64)
+    err = 0.0
+    for i in range(r):
+        want = kern[i] * 256.0 + err
+        q = int(np.floor(want + 0.5))
+        err = want - q
+        ki[i] = ki[ksize - 1 - i] = q
+    ki[r] = 256 - 2 * int(ki[:r].sum())
+    return ki
 
 
 def _conv_axis(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
@@ -134,6 +169,40 @@ def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray
     x = _conv_axis(x, k, axis=x.ndim - 1)
     x = _conv_axis(x, k, axis=x.ndim - 2)
     return x
+
+
+def gaussian_blur_u8(x: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:
+    """cv2.GaussianBlur on a UINT8 image, bit-exact, as integer-valued f32.
+
+    x: (..., H, W) float32 holding u8-cast integer values in [0, 255];
+    the result holds the exact uint8 values cv2's fixed-point path
+    produces (cv2 rounds once, half away from zero, after both passes:
+    ``(acc + 2^15) >> 16``). Two exact regimes, both pure f32 on device:
+
+    - binomial kernels (is_binomial_blur): the float cascade is already
+      the exact rational result, so ``floor(y + 0.5)`` IS the fixed-point
+      rounding (also exact, and used, for the sigma<=0 fixed tables
+      k in {7, 9}: their taps are /64 and /256 integer tables, so every
+      partial sum is an exact multiple of 1/4096 resp. 1/65536 < 2^24);
+    - everything else: the u8_gaussian_taps integer correlation. Row
+      sums <= 255*256, column sums <= 255*65536 < 2^24 — every partial
+      sum is exact in f32, so the result equals the int64 reference
+      computation bit-for-bit regardless of summation order.
+
+    The pipeline uses this op (not the float gaussian_blur) because the
+    reference hands cv2 uint8 frames: the blur output is re-quantized to
+    uint8 before the background update ever sees it (refimpl.pipeline
+    does the same via cv2), which is what makes blur-enabled configs
+    mask-bit-equal end-to-end instead of merely 1px-close.
+    """
+    if ksize == 1:
+        return x
+    if sigma <= 0 and ksize in _SMALL_GAUSSIAN:
+        return jnp.floor(gaussian_blur(x, ksize, sigma) + 0.5)
+    taps = u8_gaussian_taps(ksize, sigma).astype(np.float32)
+    y = _conv_axis(x, taps, axis=x.ndim - 1)
+    y = _conv_axis(y, taps, axis=x.ndim - 2)
+    return jnp.floor(y * np.float32(2.0**-16) + 0.5)
 
 
 def median_blur(x: jnp.ndarray, ksize: int) -> jnp.ndarray:

@@ -10,12 +10,17 @@ batch, carrying the background-model tile in VMEM the whole time:
     re-writes float32 intermediates between every op (~20-40 bytes/px).
 
 Correctness contract (same as the jnp ops, golden-tested):
-- Gaussian blur: cv2 kernels (tpuva.ops.gaussian_kernel_1d), REFLECT_101
-  borders — realized by computing on reflected halo pixels. On production
-  shapes the kernel builds that halo itself (raw-window mode: aligned
-  over-read of the raw frames + two VMEM rolls + edge-tile reflect
-  selects — zero pad traffic); small/unaligned inputs fall back to a
-  one-time XLA pre-pad of the batch. Both paths are bit-identical.
+- Gaussian blur: cv2's UINT8 fixed-point path, bit-exact (the jnp twin is
+  tpuva.ops.gaussian_blur_u8): binomial kernels as the exact cascade,
+  others as the u8_gaussian_taps integer correlation — both re-quantized
+  to integer u8 values (floor(y + 0.5) == cv2's (acc + 2^15) >> 16)
+  before the background update sees them, exactly as the reference's
+  cv2-on-uint8 loop does. REFLECT_101 borders — realized by computing on
+  reflected halo pixels. On production shapes the kernel builds that
+  halo itself (raw-window mode: aligned over-read of the raw frames +
+  two VMEM rolls + edge-tile reflect selects — zero pad traffic);
+  small/unaligned inputs fall back to a one-time XLA pre-pad of the
+  batch. Both paths are bit-identical.
 - median (k=3 only): cv2.medianBlur BORDER_REPLICATE semantics — shifted
   reads are clamped to the image rectangle via global-coordinate selects
   (replicate = read at clamped coordinate), then the exact 19-op
@@ -53,9 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuva.ops.filters import (
     _median9,
-    gaussian_kernel_1d,
     is_binomial_blur,
     structuring_element,
+    u8_gaussian_taps,
 )
 
 
@@ -315,8 +320,12 @@ def fused_segment(
             bp, ((0, Hp + PRh - H - P), (0, Wp + PRw - W - P)), mode="edge"
         )
 
+    # non-binomial kernels: cv2's u8 fixed-point taps (integers summing to
+    # 256, held as exact f32 values) — every partial sum of the two-pass
+    # correlation stays an exact integer < 2^24, so the kernel's roll-based
+    # evaluation is bit-identical to the jnp twin's slice-based one
     kblur = (
-        tuple(float(v) for v in gaussian_kernel_1d(blur_ksize, blur_sigma))
+        tuple(float(v) for v in u8_gaussian_taps(blur_ksize, blur_sigma))
         if blur_ksize
         else ()
     )
@@ -629,10 +638,17 @@ def fused_segment(
                 for d in range(r):
                     f = f + _roll2(f, 0, 1)
                 f = f * (2.0 ** (-2 * (blur_ksize - 1)))
+                # cv2 u8 re-quantization: the cascade value is the exact
+                # rational blur, so floor(f + 0.5) IS cv2's fixed-point
+                # rounding (see ops.gaussian_blur_u8, the jnp twin)
+                f = jnp.floor(f + 0.5)
             elif kblur:
                 r = rb
                 # row (W) pass first, then column (H) — cv2 sepFilter2D
-                # order; symmetric-pair summation like the jnp op
+                # order; symmetric-pair summation like the jnp op. Taps
+                # are cv2's u8 fixed-point integers (sum 256): all
+                # partial sums exact in f32, one exact power-of-two
+                # scale + floor at the end == cv2's (acc + 2^15) >> 16
                 acc = f * kblur[r]
                 for d in range(1, r + 1):
                     acc = acc + kblur[r - d] * (
@@ -644,7 +660,7 @@ def fused_segment(
                     acc = acc + kblur[r - d] * (
                         _roll2(f, -d, 0) + _roll2(f, d, 0)
                     )
-                f = acc
+                f = jnp.floor(acc * (2.0**-16) + 0.5)
 
             if rm:
                 # BORDER_REPLICATE: clamp each shifted read to the image
