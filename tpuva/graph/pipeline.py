@@ -210,7 +210,7 @@ def _fused_mask_stage(
     jax.jit,
     static_argnames=(
         "cfg", "return_masks", "max_components", "sparse_strips", "H", "W",
-        "compact", "compact_slots", "return_labels",
+        "compact", "compact_slots", "return_labels", "ccl_single_pass",
     ),
 )
 def _post_mask_stage(
@@ -227,9 +227,19 @@ def _post_mask_stage(
     compact: bool = True,
     compact_slots: int = 48,
     return_labels: bool = False,
+    ccl_single_pass: bool = False,
 ):
     """Tiled CCL + stats + detection extraction + tracker scan (staged TPU
     path — see process_batch_staged).
+
+    ccl_single_pass=True (compact path only) runs the gen-8 single-pass
+    kernel + record-level reconcile (_stats_from_compact(reconcile=True))
+    — bit-identical stats at a scene-shape-independent kernel cost (the
+    multi-pass frontier re-sweeps cost ~7.7 ms/batch-256 on the 1080p
+    bench scene and ~28 ms on corner-straddle scenes). Reconcile capacity
+    events are folded into out["stats_overflow"] so the existing strict
+    checks surface them; return_labels forces the multi-pass kernel (the
+    raw buffer must be converged for labels_from_raw).
 
     Gen-5 tail (compact=True, default): the RAW-buffer CCL kernel also
     DMAs each occupied tile's converged block into a dense per-frame
@@ -293,11 +303,14 @@ def _post_mask_stage(
         # band boundaries with margin (bench scene max 27, soak scene
         # ~36 worst case); strict mode raises with the knob's name when
         # a denser scene needs more.
+        sp = ccl_single_pass and not return_labels
         labraw, cbuf, ccl_converged = label_components_tiled_raw(
-            mp, strip_occ, H, W, compact_slots=compact_slots
+            mp, strip_occ, H, W, compact_slots=compact_slots,
+            single_pass=sp,
         )
         stats = _stats_from_compact(
-            cbuf, strip_occ, H, W, max_components=max_components
+            cbuf, strip_occ, H, W, max_components=max_components,
+            reconcile=sp,
         )
     else:
         labraw, ccl_converged = label_components_tiled_raw(
@@ -310,7 +323,9 @@ def _post_mask_stage(
     carry2, out = _finish_batch(
         cfg, carry, stats, mfin, bg_last, return_masks
     )
-    out["stats_overflow"] = stats["overflow"]
+    out["stats_overflow"] = stats["overflow"] + stats.get(
+        "reconcile_overflow", jnp.zeros_like(stats["overflow"])
+    )
     out["ccl_converged"] = ccl_converged
     if return_labels:
         # opt-in dense cv2-id label maps (full-image op; annotation /
@@ -380,6 +395,7 @@ def process_batch_staged(
     sparse_strips: int = 256,
     compact_slots: int = 48,
     return_labels: bool = False,
+    ccl_single_pass: bool = False,
 ):
     """TPU fast path: the pipeline as two jitted dispatches (Pallas fused
     mask kernel; then tiled CCL + stats + tracker).
@@ -402,7 +418,7 @@ def process_batch_staged(
             cfg, carry, mask, bg_last,
             return_masks=return_masks, max_components=max_components,
             sparse_strips=sparse_strips, compact_slots=compact_slots,
-            return_labels=return_labels,
+            return_labels=return_labels, ccl_single_pass=ccl_single_pass,
         )
     _th, _tw, Hp, Wp = fused_tile(H, W)
     if Hp % 64 == 0 and Wp % 256 == 0:
@@ -414,13 +430,14 @@ def process_batch_staged(
             return_masks=return_masks, max_components=max_components,
             sparse_strips=sparse_strips, occ128=occ128, H=H, W=W,
             compact_slots=compact_slots, return_labels=return_labels,
+            ccl_single_pass=ccl_single_pass,
         )
     mask, bg_last = _fused_mask_stage(cfg, carry, frames)
     return _post_mask_stage(
         cfg, carry, mask, bg_last,
         return_masks=return_masks, max_components=max_components,
         sparse_strips=sparse_strips, compact_slots=compact_slots,
-        return_labels=return_labels,
+        return_labels=return_labels, ccl_single_pass=ccl_single_pass,
     )
 
 

@@ -1103,9 +1103,218 @@ def labels_from_raw(
     return lax.fori_loop(0, C, body, jnp.zeros((N, H, W), jnp.int32))
 
 
+def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
+                      gh: int, gw: int, table, n_roots, sent: int,
+                      max_row_pairs: int = 16):
+    """Cross-tile root-key closure for single-pass CCL (gen 8).
+
+    After label_components_tiled_raw(single_pass=True), every tile is at
+    a LOCAL fixed point, so adjacent masked pixels inside a tile hold
+    EQUAL labels and every in-tile fragment is uniformly labeled with
+    its fragment-min key (which is a real pixel of the fragment, hence
+    a root-flagged entry of `table`). A component straddling tiles may
+    keep several distinct fragment keys; the exact equivalences are
+    witnessed ONLY at tile boundaries, by 8-adjacent masked pixel pairs
+    in the boundary rows/cols of the compact buffer. This routine
+    extracts those pairs and computes, per root, the minimum key of its
+    equivalence class — the key the converged multi-pass kernel would
+    have propagated (min algebra: identical fixed point).
+
+    Completeness: every unordered cross-boundary adjacency is collected
+    exactly once from its top/left side —
+      * V: slot bottom row vs below-slot top row, dx in {-1, 0, +1}
+        (three SEPARATE streams: a per-pixel min over dx would drop the
+        second edge when one pixel diagonally touches two distinct
+        fragments below);
+      * H: slot right col vs right-slot left col, dy in {-1, 0, +1};
+      * the four boundary-crossing diagonals reduce to two corner pair
+        classes, bottom-right and bottom-left (the top-right/top-left
+        crossings are some other slot's BR/BL).
+    Self-pairs (a == b) are dropped: in-tile adjacency always yields
+    equal keys at a fixed point, so intra-tile sub-block boundaries
+    contribute nothing and capacity is spent on real merges only.
+
+    Capacity is strict, never silent: distinct V-pairs per boundary row
+    are capped at `max_row_pairs` and frame-level distinct index pairs
+    at 4*C, with every dropped pair counted in the returned overflow;
+    likewise pairs whose key is missing from the (capacity-truncated)
+    root table and a failed convergence check. Callers surface
+    overflow > 0 under the pipeline's strict contract.
+
+    Closure: iterated relax (per pair, pull min of both endpoints'
+    current values) + pointer jumping (r[c] <- r[index(r[c])], valid
+    because r-values are always table keys and valid table keys are
+    strictly ascending, hence unique). Jumping halves chain depth per
+    round, so ceil(log2(C)) + 1 rounds suffice for any chain within
+    capacity; a final relax verifies the fixed point anyway.
+
+    rows3: (N, T, CR, TW) compact slot rows, invalid slots masked to -1.
+    Returns (fk (N, C) final min key per root, overflow (N,) int32).
+    """
+    N, T, CR, TW = rows3.shape
+    C = table.shape[1]
+    G = gh * gw
+    INF = jnp.int32(2**30)
+
+    def valid_key(v):
+        return (v >= 0) & (v < jnp.int32(sent))
+
+    gi = tile_id // gw
+    gj = tile_id % gw
+
+    def nb_slot(di, dj):
+        ii, jj = gi + di, gj + dj
+        ok = (ii >= 0) & (ii < gh) & (jj >= 0) & (jj < gw) & slot_valid
+        ng = jnp.clip(ii * gw + jj, 0, G - 1)
+        occ = jnp.take_along_axis(occ_t, ng, axis=1)
+        ns = jnp.take_along_axis(cum_t, ng, axis=1) - 1
+        ok = ok & occ & (ns < T)
+        return jnp.where(ok, ns, 0), ok
+
+    def slot_rows(x, ns, ok):
+        # gather (N, T, L) rows of x at slot indices ns, INF when invalid
+        got = jnp.take_along_axis(
+            x, jnp.broadcast_to(ns[:, :, None], x.shape), axis=1
+        )
+        return jnp.where(ok[:, :, None], got, INF)
+
+    # --- V pairs: bottom row vs below top row, 3 dx streams ---
+    bot = rows3[:, :, CR - 1, :]
+    top = rows3[:, :, 0, :]
+    nsb, okb = nb_slot(1, 0)
+    mtop = slot_rows(top, nsb, okb)
+    lane = jnp.arange(TW, dtype=jnp.int32)
+    streams = []
+    for dx in (-1, 0, 1):
+        m = jnp.roll(mtop, -dx, axis=2)
+        edge_ok = (lane + dx >= 0) & (lane + dx < TW)
+        streams.append(jnp.where(edge_ok[None, None, :], m, INF))
+    mv = jnp.concatenate(streams, axis=2)  # (N, T, 3*TW)
+    av = jnp.tile(bot, (1, 1, 3))
+    okv = valid_key(av) & valid_key(mv) & (av != mv)
+    pa_v = jnp.where(okv, av, INF)
+    pb_v = jnp.where(okv, mv, INF)
+    # distinct (a, b) per boundary row, capped at max_row_pairs (a
+    # per-root MIN would be wrong: root a adjacent to fragments b AND c
+    # along one row needs BOTH edges or the closure misses a~c)
+    pa_s, pb_s = lax.sort((pa_v, pb_v), dimension=2, num_keys=2)
+    first = (jnp.arange(3 * TW, dtype=jnp.int32) == 0)[None, None, :]
+    head = (
+        (pa_s != jnp.roll(pa_s, 1, axis=2))
+        | (pb_s != jnp.roll(pb_s, 1, axis=2))
+        | first
+    ) & (pa_s < INF)
+    nheads = jnp.sum(head, axis=2, dtype=jnp.int32)
+    v_over = jnp.sum(
+        jnp.maximum(nheads - max_row_pairs, 0), axis=1, dtype=jnp.int32
+    )
+    rank = jnp.cumsum(head, axis=2, dtype=jnp.int32) - head.astype(
+        jnp.int32
+    )
+    keep = head & (rank < max_row_pairs)
+    ka = jnp.where(keep, pa_s, INF)
+    kb = jnp.where(keep, pb_s, INF)
+    ka, kb = lax.sort((ka, kb), dimension=2, num_keys=2)
+    pa_v2 = ka[..., :max_row_pairs].reshape(N, -1)
+    pb_v2 = kb[..., :max_row_pairs].reshape(N, -1)
+
+    # --- H pairs: right col vs right-slot left col, 3 dy streams ---
+    rcol = rows3[:, :, :, TW - 1]
+    lcol = rows3[:, :, :, 0]
+    nsr, okr = nb_slot(0, 1)
+    mlc = slot_rows(lcol, nsr, okr)
+    rr = jnp.arange(CR, dtype=jnp.int32)
+    hstreams = []
+    for dy in (-1, 0, 1):
+        m = jnp.roll(mlc, -dy, axis=2)
+        edge_ok = (rr + dy >= 0) & (rr + dy < CR)
+        hstreams.append(jnp.where(edge_ok[None, None, :], m, INF))
+    mh = jnp.concatenate(hstreams, axis=2)  # (N, T, 3*CR)
+    ah = jnp.tile(rcol, (1, 1, 3))
+    okh = valid_key(ah) & valid_key(mh) & (ah != mh)
+    pa_h = jnp.where(okh, ah, INF).reshape(N, -1)
+    pb_h = jnp.where(okh, mh, INF).reshape(N, -1)
+
+    # --- corner pairs: BR and BL single-pixel diagonals ---
+    def corner(dj, a_col, b_col):
+        nsd, okd = nb_slot(1, dj)
+        a = rows3[:, :, CR - 1, a_col]
+        bvals = jnp.take_along_axis(rows3[:, :, 0, b_col], nsd, axis=1)
+        bvals = jnp.where(okd, bvals, INF)
+        okc = valid_key(a) & valid_key(bvals) & (a != bvals)
+        return jnp.where(okc, a, INF), jnp.where(okc, bvals, INF)
+
+    pa_br, pb_br = corner(1, TW - 1, 0)
+    pa_bl, pb_bl = corner(-1, 0, TW - 1)
+
+    pa = jnp.concatenate([pa_v2, pa_h, pa_br, pa_bl], axis=1)
+    pb = jnp.concatenate([pb_v2, pb_h, pb_br, pb_bl], axis=1)
+
+    # --- map keys to root-table indices, dedupe frame-level pairs ---
+    cs = jnp.arange(C, dtype=jnp.int32)
+    eqa = pa[:, :, None] == table[:, None, :]
+    eqb = pb[:, :, None] == table[:, None, :]
+    fnda = jnp.any(eqa, axis=2)
+    fndb = jnp.any(eqb, axis=2)
+    ai = jnp.argmax(eqa, axis=2).astype(jnp.int32)
+    bi = jnp.argmax(eqb, axis=2).astype(jnp.int32)
+    has_pair = pa < INF
+    found = fnda & fndb
+    # keys absent from the table only happen when the table itself
+    # truncated (n_roots > C) — counted below via root_over; still count
+    # the dropped pairs so the condition is visible even per-frame
+    missing = jnp.sum(has_pair & ~found, axis=1, dtype=jnp.int32)
+    lo = jnp.minimum(ai, bi)
+    hi = jnp.maximum(ai, bi)
+    comp = jnp.where(has_pair & found, lo * C + hi, jnp.int32(C * C))
+    comp = lax.sort(comp, dimension=1)
+    P2 = min(4 * C, comp.shape[1])
+    firstp = (jnp.arange(comp.shape[1], dtype=jnp.int32) == 0)[None, :]
+    headp = (
+        (comp != jnp.roll(comp, 1, axis=1)) | firstp
+    ) & (comp < C * C)
+    ndist = jnp.sum(headp, axis=1, dtype=jnp.int32)
+    dedup_over = jnp.maximum(ndist - P2, 0)
+    rankp = jnp.cumsum(headp, axis=1, dtype=jnp.int32) - headp.astype(
+        jnp.int32
+    )
+    compk = jnp.where(headp & (rankp < P2), comp, jnp.int32(C * C))
+    compk = lax.sort(compk, dimension=1)[:, :P2]
+    pvalid = compk < C * C
+    ai2 = jnp.where(pvalid, compk // C, 0)
+    bi2 = jnp.where(pvalid, compk % C, 0)
+    oha = ai2[:, :, None] == cs[None, None, :]
+    ohb = bi2[:, :, None] == cs[None, None, :]
+
+    # --- closure: relax over pairs + pointer jump ---
+    def relax(r):
+        ra = jnp.take_along_axis(r, ai2, axis=1)
+        rb = jnp.take_along_axis(r, bi2, axis=1)
+        m = jnp.where(pvalid, jnp.minimum(ra, rb), INF)
+        ca = jnp.min(jnp.where(oha, m[:, :, None], INF), axis=1)
+        cb = jnp.min(jnp.where(ohb, m[:, :, None], INF), axis=1)
+        return jnp.minimum(r, jnp.minimum(ca, cb))
+
+    def jump(r):
+        eqj = r[:, :, None] == table[:, None, :]
+        rj = jnp.min(jnp.where(eqj, r[:, None, :], INF), axis=2)
+        return jnp.where(rj < INF, jnp.minimum(r, rj), r)
+
+    r = table
+    iters = max(1, int(np.ceil(np.log2(max(C, 2)))) + 1)
+    for _ in range(iters):
+        r = jump(relax(r))
+    not_converged = jnp.any(relax(r) != r, axis=1).astype(jnp.int32)
+
+    root_over = jnp.maximum(n_roots - C, 0)
+    overflow = v_over + dedup_over + missing + root_over + not_converged
+    return r, overflow
+
+
 @partial(
     jax.jit,
-    static_argnames=("H", "W", "max_components", "compute_bbox"),
+    static_argnames=("H", "W", "max_components", "compute_bbox",
+                     "reconcile"),
 )
 def _stats_from_compact(
     compact: jnp.ndarray,
@@ -1114,6 +1323,7 @@ def _stats_from_compact(
     W: int,
     max_components: int = 64,
     compute_bbox: bool = False,
+    reconcile: bool = False,
 ):
     """Gen-5 tail: stats from the COMPACT slot buffer emitted by
     tpuva.ops.pallas.ccl.label_components_tiled_raw(compact_slots=T).
@@ -1148,6 +1358,18 @@ def _stats_from_compact(
     beyond the frame's occupied-block count are uninitialized garbage —
     masked here by the strip_occ-derived rank, never trusted);
     strip_occ: (N, Hp//2, Wp//256) any-mask flag per (2x256) key strip.
+
+    reconcile=True consumes the SINGLE-PASS kernel's output
+    (label_components_tiled_raw(single_pass=True)): fragment roots are
+    unioned at the record level via _fragment_closure, their limb sums
+    merged by final key (exact: all limb quantities are exact integers
+    in f32 and addition regrouping preserves them), the root table
+    compacted to the merged components' ascending min keys (preserving
+    the valid-prefix invariant the tiered contraction relies on), and
+    bboxes merged as interval hulls. The result is BIT-IDENTICAL to
+    running the multi-pass kernel + reconcile=False (pinned by
+    tests/test_ccl_records.py); "reconcile_overflow" reports every
+    strict-capacity event (see _fragment_closure) and is 0 when off.
     """
     N, Hbp, Qcp = strip_occ.shape
     Nfp, T, CR, TW = compact.shape
@@ -1300,14 +1522,77 @@ def _stats_from_compact(
             gotr, table, b_row, c_row, tail_split=128,
             table_invalid=sent + 2,
         )
+
+    rec_over = jnp.zeros((N,), jnp.int32)
+    table_out = table
+    n_eff = n_roots
+    bbox_merged = None
+    if reconcile:
+        rows3 = jnp.where(
+            slot_valid[:, :, None, None],
+            compact[:N].reshape(N, T, CR, TW),
+            jnp.int32(-1),
+        )
+        fk, rec_over = _fragment_closure(
+            rows3, slot_valid, tile_id, cum_t, occ_t, gh, gw,
+            table, n_roots, sent,
+        )
+        rep = tvalid & (fk == table)
+        repk = jnp.where(rep, table, jnp.int32(sent + 2))
+        table_m = lax.sort(repk, dimension=1)
+        n_rep = jnp.sum(rep, axis=1, dtype=jnp.int32)
+        # merge matrix: output row k collects every fragment whose
+        # final key equals the k-th representative's key
+        w_sel = (
+            (fk[:, None, :] == table_m[:, :, None])
+            & (table_m[:, :, None] < jnp.int32(sent))
+            & tvalid[:, None, :]
+        )  # (N, C_out, C_in)
+        sums = jnp.sum(
+            jnp.where(w_sel[..., None], sums[:, None, :, :],
+                      jnp.float32(0)),
+            axis=2,
+        )
+        n_eff, table_out = n_rep, table_m
     count, area, centroid, csum, present = _assemble_stats(
-        sums, n_roots, H, W, C
+        sums, n_eff, H, W, C
     )
-    bbox = (
-        _bbox_from_strips(eq4, b, c, present, H, W)
-        if compute_bbox
-        else jnp.zeros((N, C + 1, 4), jnp.int32)
-    )
+    if compute_bbox and reconcile:
+        area_f = jnp.sum(eq4, axis=(1, 2), dtype=jnp.int32) > 0
+        present_f = jnp.concatenate(
+            [jnp.ones((N, 1), bool), area_f], axis=1
+        )
+        bbox_f = _bbox_from_strips(eq4, b, c, present_f, H, W)[:, 1:]
+        BIG = jnp.int32(2**30)
+        sel = w_sel & area_f[:, None, :]
+        x1 = jnp.min(
+            jnp.where(sel, bbox_f[..., 0][:, None, :], BIG), axis=2
+        )
+        y1 = jnp.min(
+            jnp.where(sel, bbox_f[..., 1][:, None, :], BIG), axis=2
+        )
+        x2 = jnp.max(
+            jnp.where(
+                sel, (bbox_f[..., 0] + bbox_f[..., 2])[:, None, :], -BIG
+            ),
+            axis=2,
+        )
+        y2 = jnp.max(
+            jnp.where(
+                sel, (bbox_f[..., 1] + bbox_f[..., 3])[:, None, :], -BIG
+            ),
+            axis=2,
+        )
+        bbox_c = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+        bbox0 = jnp.broadcast_to(
+            jnp.array([0, 0, W, H], jnp.int32), (N, 4)
+        )
+        bbox = jnp.concatenate([bbox0[:, None], bbox_c], axis=1)
+        bbox = jnp.where(present[:, :, None], bbox, 0).astype(jnp.int32)
+    elif compute_bbox:
+        bbox = _bbox_from_strips(eq4, b, c, present, H, W)
+    else:
+        bbox = jnp.zeros((N, C + 1, 4), jnp.int32)
     return {
         "labels": jnp.zeros((N, H, W), jnp.int32),
         "count": count,
@@ -1316,7 +1601,8 @@ def _stats_from_compact(
         "centroid": centroid,
         "centroid_sum": csum,
         "overflow": overflow,
-        "root_table": table,
+        "reconcile_overflow": rec_over,
+        "root_table": table_out,
     }
 
 

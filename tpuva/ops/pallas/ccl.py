@@ -617,7 +617,7 @@ def label_components_tiled(
     jax.jit,
     static_argnames=(
         "H", "W", "tile", "max_rounds", "frames_per_step", "max_run",
-        "compact_slots", "compact_rows", "debug_poison",
+        "compact_slots", "compact_rows", "debug_poison", "single_pass",
     ),
 )
 def label_components_tiled_raw(
@@ -632,6 +632,7 @@ def label_components_tiled_raw(
     compact_slots: int = 0,
     compact_rows: int = 16,
     debug_poison: bool = False,
+    single_pass: bool = False,
 ):
     """Fourth-generation tail: CCL without ANY full-image HBM pass.
 
@@ -700,6 +701,24 @@ def label_components_tiled_raw(
         at buffer (y + 8, x + 256). Strips of 256 columns are aligned to
         the buffer minor axis, so (..., 256)-reshapes need no copy.
       converged: ()-bool, False if the round cap was hit.
+
+    single_pass=True (gen 8, round 4) runs pass 1 ONLY and skips the
+    exact-improvability flag computation entirely: the result is NOT a
+    converged label field — each tile is at a LOCAL fixed point given
+    the halos of already-visited (forward-raster) neighbors, so every
+    in-tile fragment is uniformly labeled with its fragment-min key,
+    but a component straddling tiles may keep several distinct fragment
+    keys when its global min failed to back-propagate. The compact
+    buffer then feeds _stats_from_compact(reconcile=True), which
+    restores CONVERGED-equivalent stats exactly by unioning fragment
+    roots at the record level (tile-boundary rows of the compact buffer
+    carry exact root-key pairs — see _reconcile soundness notes in
+    tpuva.ops.label). labraw is NOT valid for labels_from_raw in this
+    mode; callers needing dense labels must use single_pass=False.
+    Motivation (bench/ccl_pass_probe.py): passes 2+ cost ~7.7 ms on the
+    1080p bench scene and ~28 ms on the corner-straddle scene purely to
+    fix a handful of records; record-level reconciliation makes the
+    kernel cost scene-shape-independent (one pass, always).
 
     debug_poison=True donates 0x5A5A5A5A-filled buffers into pass 1's
     label (and compact) outputs, so UNWRITTEN regions hold a hostile
@@ -789,7 +808,7 @@ def label_components_tiled_raw(
                 "shape."
             )
 
-    def make_pass(forward: bool, first: bool):
+    def make_pass(forward: bool, first: bool, exact_flags: bool = True):
         def kernel(*args):
             if use_compact:
                 fr_ref, occf_ref, slot_ref, row_ref = args[:4]
@@ -1061,34 +1080,42 @@ def label_components_tiled_raw(
                             #   semantics stay "some neighbor may need
                             #   re-sweeping" (_frontier_rows argument
                             #   unchanged).
-                            src = jnp.where(owned, v, jnp.int32(SENT))
-                            r1 = jnp.minimum(
-                                src,
-                                jnp.minimum(
-                                    _shift_fill(src, -1, 1, SENT),
-                                    _shift_fill(src, 1, 1, SENT),
-                                ),
-                            )
-                            nbo = jnp.minimum(
-                                r1,
-                                jnp.minimum(
-                                    _shift_fill(r1, -1, 0, SENT),
-                                    _shift_fill(r1, 1, 0, SENT),
-                                ),
-                            )
-                            early = (
-                                top
-                                & (hx >= PLW - 1) & (hx <= PLW + TW)
-                            ) | (lef & mid_y)
-                            improvable = (
-                                early
-                                & (v0 <= jnp.int32(sent_base))
-                                & (nbo < v0)
-                            )
+                            # single_pass mode (exact_flags=False) skips
+                            # the test statically: no later pass will
+                            # consume the flags, and the record-level
+                            # reconcile recovers exactly the merges the
+                            # flag would have scheduled.
+                            if exact_flags:
+                                src = jnp.where(
+                                    owned, v, jnp.int32(SENT)
+                                )
+                                r1 = jnp.minimum(
+                                    src,
+                                    jnp.minimum(
+                                        _shift_fill(src, -1, 1, SENT),
+                                        _shift_fill(src, 1, 1, SENT),
+                                    ),
+                                )
+                                nbo = jnp.minimum(
+                                    r1,
+                                    jnp.minimum(
+                                        _shift_fill(r1, -1, 0, SENT),
+                                        _shift_fill(r1, 1, 0, SENT),
+                                    ),
+                                )
+                                early = (
+                                    top
+                                    & (hx >= PLW - 1) & (hx <= PLW + TW)
+                                ) | (lef & mid_y)
+                                improvable = (
+                                    early
+                                    & (v0 <= jnp.int32(sent_base))
+                                    & (nbo < v0)
+                                )
 
-                            @pl.when(jnp.any(improvable))
-                            def _():
-                                flag_ref[0, 0, 0] = 1
+                                @pl.when(jnp.any(improvable))
+                                def _():
+                                    flag_ref[0, 0, 0] = 1
                             tilebuf[f] = v
                             write_owned(f)
                             write_compact(f, t)
@@ -1264,7 +1291,8 @@ def label_components_tiled_raw(
     )
     n_prefetch = 4 if use_compact else 3
 
-    def run_pass(lab, cmp, forward: bool, first: bool, fr_eff):
+    def run_pass(lab, cmp, forward: bool, first: bool, fr_eff,
+                 exact_flags: bool = True):
         inputs = [fr_eff, occf]
         if use_compact:
             inputs.append(slotarr)
@@ -1340,7 +1368,7 @@ def label_components_tiled_raw(
         else:
             aliases = {n_prefetch: 0}
         return pl.pallas_call(
-            make_pass(forward, first),
+            make_pass(forward, first, exact_flags),
             grid_spec=grid_spec,
             out_shape=out_shape,
             input_output_aliases=aliases,
@@ -1350,6 +1378,22 @@ def label_components_tiled_raw(
 
     def frontier(flags):
         return _frontier_rows(flags, occ3)
+
+    if single_pass:
+        # gen 8: pass 1 only; the record-level reconcile in
+        # _stats_from_compact(reconcile=True) replaces passes 2+.
+        # converged is trivially True for THIS mode's contract (every
+        # tile at a local fixed point); cross-tile closure convergence
+        # is checked (and surfaced) by the reconcile itself.
+        if use_compact:
+            lab, cmp, _flags = run_pass(
+                None, None, True, True, occ_g, exact_flags=False
+            )
+            return lab, cmp, jnp.bool_(True)
+        lab, _flags = run_pass(
+            None, None, True, True, occ_g, exact_flags=False
+        )
+        return lab, jnp.bool_(True)
 
     # ONE pass-alternation driver for both variants: cmp is a dummy
     # scalar when compact slots are off (use_compact is static, so the
