@@ -1134,19 +1134,31 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     equal keys at a fixed point, so intra-tile sub-block boundaries
     contribute nothing and capacity is spent on real merges only.
 
-    Capacity is strict, never silent: distinct V-pairs per boundary row
-    are capped at `max_row_pairs` and frame-level distinct index pairs
-    at 4*C, with every dropped pair counted in the returned overflow;
-    likewise pairs whose key is missing from the (capacity-truncated)
-    root table and a failed convergence check. Callers surface
-    overflow > 0 under the pipeline's strict contract.
+    Capacity is strict, never silent: V-pair RUN HEADS per boundary row
+    are capped at `max_row_pairs` (run heads >= distinct pairs, so the
+    cap can only over-report, never silently drop a union), with every
+    dropped head counted in the returned overflow; likewise pairs whose
+    key is missing from the (capacity-truncated) root table. Callers
+    surface overflow > 0 under the pipeline's strict contract.
 
-    Closure: iterated relax (per pair, pull min of both endpoints'
-    current values) + pointer jumping (r[c] <- r[index(r[c])], valid
-    because r-values are always table keys and valid table keys are
-    strictly ascending, hence unique). Jumping halves chain depth per
-    round, so ceil(log2(C)) + 1 rounds suffice for any chain within
-    capacity; a final relax verifies the fixed point anyway.
+    TPU shape of the extraction + closure (measured: the first cut used
+    lax.sort for per-row distinct pairs and frame-level dedup plus an
+    iterated relax/pointer-jump — 62 ms/batch-256 on-chip, 8x the
+    frontier passes it replaced; sorts on (N, T, 3TW) streams were the
+    bulk). Sort-free version:
+      * per-row pair compaction exploits that equal (a, b) pairs along a
+        boundary row are CONTIGUOUS runs within each dx stream (tiles
+        are uniformly labeled per fragment at a local fixed point), so a
+        roll-compare marks run heads and `max_row_pairs` tiny argmax
+        gathers compact them — no sort;
+      * no frame-level dedup at all: pair keys map to root-table indices
+        (small broadcast compare) and ONE bf16 one-hot MXU contraction
+        builds the (N, C, C) boolean adjacency matrix — duplicate pairs
+        just re-set a bit;
+      * closure = transitive closure of that tiny matrix by
+        ceil(log2(C)) boolean matmul squarings (paths up to 2^k covered
+        after k squarings; with the diagonal seeded, >= C suffices), so
+        the result is exact by construction — no convergence check.
 
     rows3: (N, T, CR, TW) compact slot rows, invalid slots masked to -1.
     Returns (fk (N, C) final min key per root, overflow (N,) int32).
@@ -1194,29 +1206,34 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     okv = valid_key(av) & valid_key(mv) & (av != mv)
     pa_v = jnp.where(okv, av, INF)
     pb_v = jnp.where(okv, mv, INF)
-    # distinct (a, b) per boundary row, capped at max_row_pairs (a
-    # per-root MIN would be wrong: root a adjacent to fragments b AND c
-    # along one row needs BOTH edges or the closure misses a~c)
-    pa_s, pb_s = lax.sort((pa_v, pb_v), dimension=2, num_keys=2)
-    first = (jnp.arange(3 * TW, dtype=jnp.int32) == 0)[None, None, :]
-    head = (
-        (pa_s != jnp.roll(pa_s, 1, axis=2))
-        | (pb_s != jnp.roll(pb_s, 1, axis=2))
-        | first
-    ) & (pa_s < INF)
+    # run-head compaction, capped at max_row_pairs (a per-root MIN would
+    # be wrong: root a adjacent to fragments b AND c along one row needs
+    # BOTH edges or the closure misses a~c). Equal pairs form contiguous
+    # lane runs within a dx stream, so a roll-compare marks one head per
+    # run; duplicates across runs/streams are harmless (adjacency bits).
+    lane3 = jnp.arange(3 * TW, dtype=jnp.int32)
+    first3 = (lane3 % TW == 0)[None, None, :]
+    head = okv & (
+        first3
+        | (pa_v != jnp.roll(pa_v, 1, axis=2))
+        | (pb_v != jnp.roll(pb_v, 1, axis=2))
+    )
     nheads = jnp.sum(head, axis=2, dtype=jnp.int32)
     v_over = jnp.sum(
         jnp.maximum(nheads - max_row_pairs, 0), axis=1, dtype=jnp.int32
     )
-    rank = jnp.cumsum(head, axis=2, dtype=jnp.int32) - head.astype(
-        jnp.int32
-    )
-    keep = head & (rank < max_row_pairs)
-    ka = jnp.where(keep, pa_s, INF)
-    kb = jnp.where(keep, pb_s, INF)
-    ka, kb = lax.sort((ka, kb), dimension=2, num_keys=2)
-    pa_v2 = ka[..., :max_row_pairs].reshape(N, -1)
-    pb_v2 = kb[..., :max_row_pairs].reshape(N, -1)
+    rank = jnp.cumsum(head, axis=2, dtype=jnp.int32)  # 1-based at heads
+    pas, pbs = [], []
+    for k in range(max_row_pairs):
+        hit = head & (rank == k + 1)
+        posk = jnp.argmax(hit, axis=2).astype(jnp.int32)[:, :, None]
+        okk = jnp.take_along_axis(hit, posk, axis=2)
+        pak = jnp.take_along_axis(pa_v, posk, axis=2)
+        pbk = jnp.take_along_axis(pb_v, posk, axis=2)
+        pas.append(jnp.where(okk, pak, INF))
+        pbs.append(jnp.where(okk, pbk, INF))
+    pa_v2 = jnp.concatenate(pas, axis=2).reshape(N, -1)
+    pb_v2 = jnp.concatenate(pbs, axis=2).reshape(N, -1)
 
     # --- H pairs: right col vs right-slot left col, 3 dy streams ---
     rcol = rows3[:, :, :, TW - 1]
@@ -1250,65 +1267,46 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     pa = jnp.concatenate([pa_v2, pa_h, pa_br, pa_bl], axis=1)
     pb = jnp.concatenate([pb_v2, pb_h, pb_br, pb_bl], axis=1)
 
-    # --- map keys to root-table indices, dedupe frame-level pairs ---
-    cs = jnp.arange(C, dtype=jnp.int32)
+    # --- map keys to root-table indices ---
     eqa = pa[:, :, None] == table[:, None, :]
     eqb = pb[:, :, None] == table[:, None, :]
     fnda = jnp.any(eqa, axis=2)
     fndb = jnp.any(eqb, axis=2)
-    ai = jnp.argmax(eqa, axis=2).astype(jnp.int32)
-    bi = jnp.argmax(eqb, axis=2).astype(jnp.int32)
     has_pair = pa < INF
     found = fnda & fndb
     # keys absent from the table only happen when the table itself
     # truncated (n_roots > C) — counted below via root_over; still count
     # the dropped pairs so the condition is visible even per-frame
     missing = jnp.sum(has_pair & ~found, axis=1, dtype=jnp.int32)
-    lo = jnp.minimum(ai, bi)
-    hi = jnp.maximum(ai, bi)
-    comp = jnp.where(has_pair & found, lo * C + hi, jnp.int32(C * C))
-    comp = lax.sort(comp, dimension=1)
-    P2 = min(4 * C, comp.shape[1])
-    firstp = (jnp.arange(comp.shape[1], dtype=jnp.int32) == 0)[None, :]
-    headp = (
-        (comp != jnp.roll(comp, 1, axis=1)) | firstp
-    ) & (comp < C * C)
-    ndist = jnp.sum(headp, axis=1, dtype=jnp.int32)
-    dedup_over = jnp.maximum(ndist - P2, 0)
-    rankp = jnp.cumsum(headp, axis=1, dtype=jnp.int32) - headp.astype(
-        jnp.int32
+
+    # --- adjacency matrix + closure by boolean matmul squaring ---
+    # one-hots are 0/1 (bf16-exact); f32 accumulation bounds every count
+    # by the pair capacity P << 2^24, so the contraction is exact
+    pv = (has_pair & found)[:, :, None]
+    oha = (eqa & pv).astype(jnp.bfloat16)
+    ohb = (eqb & pv).astype(jnp.bfloat16)
+    adj = jnp.einsum(
+        "npi,npj->nij", oha, ohb, preferred_element_type=jnp.float32
     )
-    compk = jnp.where(headp & (rankp < P2), comp, jnp.int32(C * C))
-    compk = lax.sort(compk, dimension=1)[:, :P2]
-    pvalid = compk < C * C
-    ai2 = jnp.where(pvalid, compk // C, 0)
-    bi2 = jnp.where(pvalid, compk % C, 0)
-    oha = ai2[:, :, None] == cs[None, None, :]
-    ohb = bi2[:, :, None] == cs[None, None, :]
-
-    # --- closure: relax over pairs + pointer jump ---
-    def relax(r):
-        ra = jnp.take_along_axis(r, ai2, axis=1)
-        rb = jnp.take_along_axis(r, bi2, axis=1)
-        m = jnp.where(pvalid, jnp.minimum(ra, rb), INF)
-        ca = jnp.min(jnp.where(oha, m[:, :, None], INF), axis=1)
-        cb = jnp.min(jnp.where(ohb, m[:, :, None], INF), axis=1)
-        return jnp.minimum(r, jnp.minimum(ca, cb))
-
-    def jump(r):
-        eqj = r[:, :, None] == table[:, None, :]
-        rj = jnp.min(jnp.where(eqj, r[:, None, :], INF), axis=2)
-        return jnp.where(rj < INF, jnp.minimum(r, rj), r)
-
-    r = table
-    iters = max(1, int(np.ceil(np.log2(max(C, 2)))) + 1)
-    for _ in range(iters):
-        r = jump(relax(r))
-    not_converged = jnp.any(relax(r) != r, axis=1).astype(jnp.int32)
+    eye = jnp.eye(C, dtype=jnp.float32)[None]
+    A = ((adj + jnp.swapaxes(adj, 1, 2) + eye) > 0).astype(jnp.bfloat16)
+    for _ in range(max(1, int(np.ceil(np.log2(max(C, 2)))))):
+        A = (
+            jnp.einsum(
+                "nij,njk->nik", A, A,
+                preferred_element_type=jnp.float32,
+            )
+            > 0
+        ).astype(jnp.bfloat16)
+    reach = A > 0
+    fk = jnp.min(jnp.where(reach, table[:, None, :], INF), axis=2)
+    # invalid table entries (sent + 2) reach only themselves, so fk
+    # keeps them unchanged, matching the multi-pass table exactly
+    fk = jnp.minimum(fk, table)
 
     root_over = jnp.maximum(n_roots - C, 0)
-    overflow = v_over + dedup_over + missing + root_over + not_converged
-    return r, overflow
+    overflow = v_over + missing + root_over
+    return fk, overflow
 
 
 @partial(
