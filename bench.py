@@ -170,10 +170,13 @@ def accuracy_vs_reference(clip, plate, cfg, frames=48):
     """The accuracy half of the primary metric (BASELINE.json:2): run the
     TPU pipeline and the refimpl oracle on the same 1080p sub-clip and
     report the max centroid error (px; contract is <= 1, BASELINE.json:5)
-    and whether every row pairs up by (track id, frame). Areas may differ
-    by a few pixels: cv2's uint8 GaussianBlur is fixed-point (<= 3 LSB vs
-    float, SURVEY.md §8), flipping knife-edge threshold pixels — absorbed
-    by the 1px centroid tolerance, not an id/track divergence."""
+    and whether every row pairs up by (track id, frame). Since the
+    bit-exact uint8 Gaussian blur landed (ops.gaussian_blur_u8: cv2's
+    fixed-point path reproduced exactly), every benchmarked config is
+    mask-bit-equal end-to-end and this measures 0.0 with rows matching —
+    the suite pins that stronger contract (tests/test_ops_golden,
+    test_config_fuzz); the 1px band remains only as the contract's outer
+    bound, not an expected slack."""
     from refimpl.pipeline import run_pipeline
     from tpuva.graph.pipeline import process_clip
 

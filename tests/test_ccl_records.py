@@ -190,6 +190,45 @@ def test_poisoned_single_pass():
     assert_stats_equal(s1, s0)
 
 
+def test_recurring_pair_runs_no_overflow():
+    # advisor r4 repro: ONE surviving pair touching a boundary row in
+    # many disjoint contact intervals (comb teeth). Run-head counting
+    # inflated reconcile_overflow (~73) and tripped strict mode on a
+    # legal scene; distinct-pair compaction must report 0 and stay
+    # bit-equal. Frame 0: 30 one-px teeth (interval recurrence + dx-echo
+    # duplicates); frame 1: three 10-px-wide teeth (contiguous lane runs
+    # of the same pair).
+    H, W = 128, 256
+    m = np.zeros((2, H, W), np.uint8)
+    for t in (0, 1):
+        m[t, 0:71, 0] = 255       # anchor arm: smallest key, crosses x=0
+        m[t, 55, 8:250] = 255     # bar B in the top tile
+        m[t, 70, :] = 255         # bar in the lower tile joins everything
+    for k in range(30):
+        m[0, 55:71, 8 + 8 * k] = 255      # 1-px teeth across the boundary
+    for k in range(3):
+        x = 20 + 60 * k
+        m[1, 55:71, x:x + 10] = 255       # wide teeth: same-pair lane runs
+    s1, s0 = both(m, H, W)
+    assert np.asarray(s1["count"]).tolist() == [1, 1]
+
+
+def test_distinct_pairs_at_capacity_no_overflow():
+    # dense-but-LEGAL: 15 distinct (arm_key, anchor_key) pairs witnessed
+    # on one 256-px boundary row — at (not past) the max_row_pairs=16
+    # budget. Must reconcile exactly with overflow 0 (the strict contract
+    # may only raise past documented capacity).
+    H, W = 128, 256
+    m = np.zeros((1, H, W), np.uint8)
+    m[0, 0:71, 0] = 255  # anchor arm: smallest key, crosses at x=0
+    for k in range(15):
+        x = 8 + 16 * k
+        m[0, 60:71, x] = 255  # arms above+below the boundary
+    m[0, 70, :] = 255  # bar in the lower tile joins everything
+    s1, s0 = both(m, H, W)
+    assert int(np.asarray(s1["count"])[0]) == 1
+
+
 def test_reconcile_overflow_reported():
     # > max_row_pairs DISTINCT back-propagation pairs in ONE 256-px
     # boundary row: 20 arms above the tile boundary (distinct fragment

@@ -65,6 +65,7 @@ def make_multistream_processor(
     parallel_bg: bool = False,
     max_components: int = 64,
     use_pallas: Optional[bool] = None,
+    ccl_single_pass: bool = False,
 ):
     """Returns fn(carry_stacked, frames (S, N, H, W) uint8) ->
     (carry_stacked, out_stacked).
@@ -78,7 +79,13 @@ def make_multistream_processor(
     backend is a real TPU and the config fuses — the production v5e-8
     setting; off on the CPU test mesh, where interpret mode would only
     slow CI (the pallas-under-shard_map path is still covered by an
-    explicit use_pallas=True CPU-mesh test)."""
+    explicit use_pallas=True CPU-mesh test).
+
+    ccl_single_pass: per-stream gen-8 single-pass tiled CCL + record
+    reconcile instead of the dense CCL — bit-identical rows (pinned under
+    both the mesh and vmap modes by tests/test_single_pass_modes.py);
+    out gains stats_overflow/ccl_converged per stream for the strict
+    contract."""
     if use_pallas is None:
         from tpuva.graph.pipeline import _can_fuse
 
@@ -93,12 +100,14 @@ def make_multistream_processor(
             return_masks=False,
             max_components=max_components,
             use_pallas=use_pallas,
+            ccl_single_pass=ccl_single_pass,
         )
 
     if mesh is None:
-        if use_pallas:
-            # vmap would hand the Pallas kernel batched ANY-space refs,
-            # which Mosaic rejects (caught by bench/tpu_smoke.py); lax.map
+        if use_pallas or ccl_single_pass:
+            # vmap would hand the Pallas kernels (fused front-end and the
+            # single-pass CCL alike) batched ANY-space refs, which Mosaic
+            # rejects (caught by bench/tpu_smoke.py); lax.map
             # slices one stream per iteration so the kernel sees the same
             # unbatched shapes as the single-stream path. Streams share
             # the one chip either way, so the serialization is free.

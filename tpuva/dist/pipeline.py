@@ -69,8 +69,12 @@ class SpatialStreamPipeline(StreamingPipeline):
       snapshot holds the gathered full-frame carry either way).
 
     H must divide by n_chips and the filter halo must fit one band
-    (make_spatial_processor validates). use_pallas is ignored: the
-    band-parallel program is its own device path.
+    (make_spatial_processor validates). use_pallas and ccl_single_pass
+    are ignored: the band-parallel program is its own device path, and
+    its CCL is already single-sweep-per-band + record-level cross-band
+    reconcile (the same convergence-free structure the single-pass flag
+    selects on the tiled kernel), so there is no multi-pass mode to
+    switch off.
     """
 
     def __init__(self, cfg: PipelineConfig, n_chips: int, mesh=None, **kw):
@@ -256,6 +260,8 @@ class MultiStreamPipeline:
         log: bool = False,
         use_pallas: Optional[bool] = None,
         row_log_dir: Optional[str] = None,
+        ccl_single_pass: bool = False,
+        strict: bool = True,
     ):
         self.cfg = cfg
         self.n_streams = n_streams
@@ -270,6 +276,8 @@ class MultiStreamPipeline:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
         self.queue_depth = queue_depth
+        self.strict = strict
+        self.overflow_frames = 0
         self.logger = BatchLogger(enabled=log)
         self._fn = make_multistream_processor(
             cfg,
@@ -278,6 +286,7 @@ class MultiStreamPipeline:
             parallel_bg=parallel_bg,
             max_components=max_components,
             use_pallas=use_pallas,
+            ccl_single_pass=ccl_single_pass,
         )
 
     # ------------------------------------------------------------- assembly
@@ -427,6 +436,23 @@ class MultiStreamPipeline:
 
         def consume(rec, n):
             # drainer thread: per-stream row collection in step order
+            # (strict errors re-raise at the next submit/flush/close)
+            if "stats_overflow" in rec:
+                ov = np.asarray(rec["stats_overflow"])[:, :n]
+                bad = int((ov > 0).sum())
+                if bad:
+                    self.overflow_frames += bad
+                    msg = (
+                        f"per-stream stats/reconcile capacity overflow on "
+                        f"{bad} frame(s) (max {int(ov.max())} dropped): "
+                        f"raise compact_slots/max_components for this "
+                        f"workload"
+                    )
+                    if self.strict:
+                        raise RuntimeError(msg)
+                    import warnings
+
+                    warnings.warn(msg)
             rows, valid = rec["rows"], rec["row_valid"]
             sums = rec["row_sums"]
             for s in range(rows.shape[0]):

@@ -411,6 +411,17 @@ def process_batch_staged(
     occupancy reduction between them."""
     from tpuva.ops.pallas.fused_segment import fused_tile
 
+    if ccl_single_pass and return_labels:
+        import warnings
+
+        warnings.warn(
+            "return_labels=True forces the multi-pass CCL kernel: dense "
+            "label maps need a converged raw buffer, which the "
+            "single-pass kernel deliberately does not produce "
+            "(ops/pallas/ccl.py). ccl_single_pass is ignored for this "
+            "call; stats/tracking outputs are identical either way.",
+            stacklevel=2,
+        )
     N, H, W = frames.shape
     if cfg.segment.threshold == "otsu":
         mask, bg_last = _otsu_mask_stage(cfg, carry, frames)
@@ -444,7 +455,8 @@ def process_batch_staged(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "parallel_bg", "return_masks", "max_components", "use_pallas"
+        "cfg", "parallel_bg", "return_masks", "max_components",
+        "use_pallas", "ccl_single_pass", "compact_slots",
     ),
 )
 def process_batch(
@@ -455,12 +467,23 @@ def process_batch(
     return_masks: bool = False,
     max_components: int = 64,
     use_pallas: bool = False,
+    ccl_single_pass: bool = False,
+    compact_slots: int = 48,
 ):
     """One fused device program over an N-frame batch.
 
     use_pallas=True runs the segmentation front-end as the VMEM-resident
     Pallas kernel (tpuva.ops.pallas.fused_segment — bit-identical to the
     jnp path, ~free vs dispatch overhead); requires cfg.median is None.
+
+    ccl_single_pass=True swaps the dense CCL for the gen-8 tiled
+    single-pass kernel + record-level reconcile (same path as the staged
+    pipeline's flag — see _post_mask_stage): bit-identical rows at a
+    scene-shape-independent kernel cost, with out gaining the
+    "stats_overflow" / "ccl_converged" strictness fields. This makes the
+    single-pass mode available everywhere process_batch runs — incl.
+    per-stream under the ('stream',) shard_map and vmap multistream
+    processors (tests/test_single_pass_modes.py).
 
     Returns (new_carry, out) with out:
       rows      (N, max_blobs, 5) float32 — (track_id, frame, x, y, area)
@@ -496,6 +519,12 @@ def process_batch(
                 cfg.morph_close.shape, cfg.morph_close.ksize
             )
             mask = morph_close(mask, se, cfg.morph_close.iterations)
+    if ccl_single_pass:
+        return _post_mask_stage(
+            cfg, carry, mask, bg_last, return_masks=return_masks,
+            max_components=max_components, compact_slots=compact_slots,
+            ccl_single_pass=True,
+        )
     stats = connected_components_with_stats(
         mask,
         max_components=max_components,

@@ -289,8 +289,11 @@ class AsyncRowDrainer:
             else:
                 parts.append(jnp.zeros((F,), jnp.float32))
             if has_converged:
+                # multistream emits per-stream (S,) flags; the record
+                # carries the strict-relevant reduction (ALL converged)
                 parts.append(
-                    out["ccl_converged"].astype(jnp.float32).reshape(1)
+                    jnp.all(out["ccl_converged"])
+                    .astype(jnp.float32).reshape(1)
                 )
             else:
                 parts.append(jnp.zeros((1,), jnp.float32))
@@ -433,6 +436,8 @@ class StreamingPipeline:
         compact_slots: int = 48,
         strict: bool = True,
         row_log_path: Optional[str] = None,
+        ccl_single_pass: bool = False,
+        force_staged: bool = False,
     ):
         self.cfg = cfg
         self.checkpoint_path = checkpoint_path
@@ -445,6 +450,13 @@ class StreamingPipeline:
         self.compact_slots = compact_slots
         self.strict = strict
         self.row_log_path = row_log_path
+        # single-pass tiled CCL + record reconcile (gen 8) on BOTH device
+        # paths: the staged TPU path and the one-dispatch process_batch
+        # fallback (reconcile overflow rides the same strict contract)
+        self.ccl_single_pass = ccl_single_pass
+        # CI knob: take the staged path off-TPU (Pallas interpret mode) so
+        # the staged plumbing is testable on the virtual CPU backend
+        self.force_staged = force_staged
         self.overflow_frames = 0
         self.ccl_unconverged_batches = 0
         self.active_tracks = 0  # last drained end-of-batch count
@@ -469,12 +481,13 @@ class StreamingPipeline:
         if (
             self.use_pallas
             and _can_stage(cfg)
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or self.force_staged)
         ):
             return process_batch_staged(
                 cfg, carry, dev_batch, max_components=self.max_components,
                 sparse_strips=self.sparse_strips,
                 compact_slots=self.compact_slots,
+                ccl_single_pass=self.ccl_single_pass,
             )
         return process_batch(
             cfg,
@@ -483,6 +496,8 @@ class StreamingPipeline:
             parallel_bg=self.parallel_bg,
             max_components=self.max_components,
             use_pallas=self.use_pallas,
+            ccl_single_pass=self.ccl_single_pass,
+            compact_slots=self.compact_slots,
         )
 
     def warmup(self, H: int, W: int) -> None:
@@ -643,11 +658,13 @@ class StreamingPipeline:
             if bad:
                 self.overflow_frames += bad
                 msg = (
-                    f"sparse-strip stats overflow on {bad} frame(s) (max "
-                    f"{int(ov.max())} strips dropped): areas/centroids are "
+                    f"stats capacity overflow on {bad} frame(s) (max "
+                    f"{int(ov.max())} dropped): areas/centroids are "
                     "inexact for those frames — raise compact_slots "
                     f"(={self.compact_slots}) / sparse_strips "
-                    f"(={self.sparse_strips}) for this workload"
+                    f"(={self.sparse_strips}), or (single-pass CCL) the "
+                    "scene exceeds the reconcile's per-row distinct-pair "
+                    "capacity (see _fragment_closure)"
                 )
                 if self.strict:
                     raise RuntimeError(msg)

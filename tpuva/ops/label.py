@@ -1134,23 +1134,39 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     equal keys at a fixed point, so intra-tile sub-block boundaries
     contribute nothing and capacity is spent on real merges only.
 
-    Capacity is strict, never silent: V-pair RUN HEADS per boundary row
-    are capped at `max_row_pairs` (run heads >= distinct pairs, so the
-    cap can only over-report, never silently drop a union), with every
-    dropped head counted in the returned overflow; likewise pairs whose
-    key is missing from the (capacity-truncated) root table. Callers
-    surface overflow > 0 under the pipeline's strict contract.
+    Capacity is strict, never silent: per boundary row, up to
+    `max_row_pairs` DISTINCT V pairs are kept (the compaction loop
+    dedupes by (a, b) pair value, so recurring contact intervals of the
+    same pair — and the same pair echoed across dx streams — consume ONE
+    slot); run heads still unmatched after the distinct picks are
+    counted in the returned overflow, so overflow == 0 whenever a row
+    has <= max_row_pairs distinct pairs and can only over-report past
+    that (never silently drop a union). Likewise pairs whose key is
+    missing from the (capacity-truncated) root table. Callers surface
+    overflow > 0 under the pipeline's strict contract.
+
+    Sizing: max_row_pairs=16 distinct cross-fragment merges witnessed
+    along ONE 256-px boundary row (each row has its own budget; H and
+    corner streams are uncapped). A distinct pair needs two distinct
+    fragment keys meeting at that row, so 16 supports >= 16 distinct
+    blobs stacked against a single tile edge — 2x the tracker's
+    max_blobs=8 contract (BASELINE.json:9) and far past any benchmarked
+    scene; genuinely denser rows raise via the strict contract rather
+    than degrade.
 
     TPU shape of the extraction + closure (measured: the first cut used
     lax.sort for per-row distinct pairs and frame-level dedup plus an
     iterated relax/pointer-jump — 62 ms/batch-256 on-chip, 8x the
     frontier passes it replaced; sorts on (N, T, 3TW) streams were the
     bulk). Sort-free version:
-      * per-row pair compaction exploits that equal (a, b) pairs along a
-        boundary row are CONTIGUOUS runs within each dx stream (tiles
-        are uniformly labeled per fragment at a local fixed point), so a
-        roll-compare marks run heads and `max_row_pairs` tiny argmax
-        gathers compact them — no sort;
+      * per-row pair compaction exploits that equal (a, b) pairs form
+        contiguous lane runs PER CONTACT INTERVAL within a dx stream
+        (tiles are uniformly labeled per fragment at a local fixed
+        point) — the same pair can recur across disjoint intervals and
+        across dx streams, so a roll-compare marks run heads and
+        `max_row_pairs` tiny argmax gathers pick them, each pick
+        erasing every same-pair head so capacity counts DISTINCT pairs
+        — no sort;
       * no frame-level dedup at all: pair keys map to root-table indices
         (small broadcast compare) and ONE bf16 one-hot MXU contraction
         builds the (N, C, C) boolean adjacency matrix — duplicate pairs
@@ -1206,11 +1222,15 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     okv = valid_key(av) & valid_key(mv) & (av != mv)
     pa_v = jnp.where(okv, av, INF)
     pb_v = jnp.where(okv, mv, INF)
-    # run-head compaction, capped at max_row_pairs (a per-root MIN would
-    # be wrong: root a adjacent to fragments b AND c along one row needs
-    # BOTH edges or the closure misses a~c). Equal pairs form contiguous
-    # lane runs within a dx stream, so a roll-compare marks one head per
-    # run; duplicates across runs/streams are harmless (adjacency bits).
+    # distinct-pair compaction, capped at max_row_pairs (a per-root MIN
+    # would be wrong: root a adjacent to fragments b AND c along one row
+    # needs BOTH edges or the closure misses a~c). Equal pairs form
+    # contiguous lane runs per contact interval, so a roll-compare marks
+    # run heads; each pick then ERASES every remaining head carrying the
+    # same (a, b) pair — recurring intervals and cross-dx echoes of one
+    # pair cost one slot, so capacity (and the overflow count) tracks
+    # DISTINCT pairs, not run count (advisor r4: head counting inflated
+    # overflow and tripped strict mode on legal comb-contact scenes).
     lane3 = jnp.arange(3 * TW, dtype=jnp.int32)
     first3 = (lane3 % TW == 0)[None, None, :]
     head = okv & (
@@ -1218,20 +1238,24 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
         | (pa_v != jnp.roll(pa_v, 1, axis=2))
         | (pb_v != jnp.roll(pb_v, 1, axis=2))
     )
-    nheads = jnp.sum(head, axis=2, dtype=jnp.int32)
-    v_over = jnp.sum(
-        jnp.maximum(nheads - max_row_pairs, 0), axis=1, dtype=jnp.int32
-    )
-    rank = jnp.cumsum(head, axis=2, dtype=jnp.int32)  # 1-based at heads
+    remaining = head
     pas, pbs = [], []
     for k in range(max_row_pairs):
-        hit = head & (rank == k + 1)
-        posk = jnp.argmax(hit, axis=2).astype(jnp.int32)[:, :, None]
-        okk = jnp.take_along_axis(hit, posk, axis=2)
+        posk = jnp.argmax(remaining, axis=2).astype(jnp.int32)[:, :, None]
+        okk = jnp.take_along_axis(remaining, posk, axis=2)
         pak = jnp.take_along_axis(pa_v, posk, axis=2)
         pbk = jnp.take_along_axis(pb_v, posk, axis=2)
         pas.append(jnp.where(okk, pak, INF))
         pbs.append(jnp.where(okk, pbk, INF))
+        remaining = remaining & ~(okk & (pa_v == pak) & (pb_v == pbk))
+    # heads still unpicked after max_row_pairs distinct picks: at >16
+    # distinct pairs this over-reports (leftover duplicates also count)
+    # but is exactly 0 at or under capacity — the strict contract's
+    # requirement
+    v_over = jnp.sum(
+        jnp.sum(remaining, axis=2, dtype=jnp.int32), axis=1,
+        dtype=jnp.int32,
+    )
     pa_v2 = jnp.concatenate(pas, axis=2).reshape(N, -1)
     pb_v2 = jnp.concatenate(pbs, axis=2).reshape(N, -1)
 
