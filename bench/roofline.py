@@ -39,6 +39,16 @@ from jax import lax
 # v5e: 16 GB HBM2 @ ~819 GB/s (public spec). Override for other chips.
 PEAK_HBM_GBPS = float(os.environ.get("TPUVA_PEAK_HBM_GBPS", "819"))
 
+# v5e compute peaks (round-5 compute-side roofline — VERDICT r4 item 4).
+# MXU: 197 bf16 TFLOP/s public spec => 98.5e12 MAC/s.
+# VPU: 4 independent ALUs x (8 sublanes x 128 lanes) vregs at the
+# ~1.5 GHz implied by the MXU spec (197e12 / (2 flops x 4 MXUs x 128x128
+# MACs) = 1.5e9) => ~6.1e12 elementwise f32 ops/s. Estimates, not specs:
+# compute floors derived from them are ceilings good to ~±30%, which is
+# enough to say whether a stage has 2x or 10x of headroom left.
+PEAK_MXU_MACS = float(os.environ.get("TPUVA_PEAK_MXU_MACS", "98.5e12"))
+PEAK_VPU_OPS = float(os.environ.get("TPUVA_PEAK_VPU_OPS", "6.1e12"))
+
 
 def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
@@ -55,24 +65,48 @@ def timeit(fn, args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters, out
 
 
-def stage(name, t_s, bytes_floor, note=""):
+def stage(name, t_s, bytes_floor, note="", vpu_ops=None, mxu_macs=None,
+          seq_floor_ms=None):
+    """One roofline row. bytes_floor -> HBM-side floor; vpu_ops/mxu_macs
+    (structural op-count estimates, see call sites) -> compute-side
+    floor = max(VPU time, MXU time) since the units overlap;
+    seq_floor_ms -> a MEASURED serialization floor (e.g. the tracker's
+    bare same-shape scan) used directly as the compute floor."""
     gbps = bytes_floor / t_s / 1e9 if bytes_floor else None
     pct = 100.0 * gbps / PEAK_HBM_GBPS if gbps else None
+    if seq_floor_ms is not None:
+        comp_ms = seq_floor_ms
+    elif vpu_ops or mxu_macs:
+        comp_ms = max(
+            (vpu_ops or 0) / PEAK_VPU_OPS, (mxu_macs or 0) / PEAK_MXU_MACS
+        ) * 1e3
+    else:
+        comp_ms = None
+    cpct = 100.0 * comp_ms / (t_s * 1e3) if comp_ms else None
     row = {
         "stage": name,
         "ms_per_batch": round(t_s * 1e3, 3),
         "bytes_floor": int(bytes_floor) if bytes_floor else None,
         "achieved_gbps_vs_floor": round(gbps, 1) if gbps else None,
         "pct_of_hbm_roofline": round(pct, 1) if pct else None,
+        "compute_floor_ms": round(comp_ms, 3) if comp_ms else None,
+        "pct_of_compute_roofline": round(cpct, 1) if cpct else None,
+        "vpu_ops_est": int(vpu_ops) if vpu_ops else None,
+        "mxu_macs_est": int(mxu_macs) if mxu_macs else None,
         "note": note,
     }
     print(
         f"{name:24s}: {t_s*1e3:8.2f} ms  "
         + (
             f"{bytes_floor/1e6:8.1f} MB floor  {gbps:6.1f} GB/s  "
-            f"{pct:5.1f}% of roofline"
+            f"{pct:5.1f}% of HBM"
             if bytes_floor
-            else " (no meaningful byte floor — latency/compute stage)"
+            else "(no byte floor)"
+        )
+        + (
+            f"  compute-floor {comp_ms:6.2f} ms ({cpct:5.1f}% achieved)"
+            if comp_ms
+            else ""
         )
         + (f"  [{note}]" if note else ""),
         flush=True,
@@ -158,11 +192,31 @@ def main():
         + N * (Hp // 2) * (Wp // 128)  # occ write
         + Hp * Wp * 4  # bg out write
     )
+    # compute-side floor (structural op counts from fused_segment's frame
+    # loop at the bench config: binomial k=5 u8 blur, no median, open
+    # rect3 + close ellipse3):
+    #   row blur cascade       2*(k-1) roll+add   = 8 ops/px
+    #   blur rescale + u8 requantize (floor(x+.5)) = 3
+    #   bg update + |F-B| + strict compare         = 5
+    #   widen/format + occ reduce + mask format    ~ 6
+    #   morphology (skipped on fg-free tile-frames): erode+dilate, per SE
+    #   ~10 ops/px => open+close ~ 40 ops/px, paid on occupied tiles only
+    #   MXU column blur: k MACs/px (banded matmul)
+    occ_a = np.asarray(occ128)
+    TWb = occ_a.shape[2] // gw
+    ftile_occ = occ_a.reshape(
+        N, gh, TH // 2, gw, TWb
+    ).max(axis=(2, 4))  # (N, gh, gw) fused-tile-granular occupancy
+    fused_occ_frac = float((ftile_occ > 0).mean())
+    px_all = N * gh * gw * SH * SW
+    vpu_fused = px_all * 22 + fused_occ_frac * px_all * 40
+    mxu_fused = px_all * (cfg.blur.ksize if cfg.blur else 0)
     stages.append(
         stage(
             "fused_mask_stage", t, fused_floor,
-            f"raw-window {RL}x{CL}/tile; bg/blur/median/threshold/morph"
-            " VMEM-resident",
+            f"raw-window {RL}x{CL}/tile; fused-tile occ "
+            f"{fused_occ_frac:.2f}; op counts ±30%",
+            vpu_ops=vpu_fused, mxu_macs=mxu_fused,
         )
     )
     # the IDEAL floor if windows could be read without alignment
@@ -207,10 +261,18 @@ def main():
     )
     occupied_label_bytes = occ_frac * N * Hc * Wc * 4
     ccl_floor = N * Hp * Wp + 2 * occupied_label_bytes
+    # compute floor: pass-1 in-tile propagation visits each occupied px
+    # with neighbor mins + run-scan work (truncated at 32) — structural
+    # estimate ~30 VPU ops per occupied px, ±2x (the kernel's cost is
+    # dominated by sweep sequencing, which this deliberately bounds from
+    # below; frontier re-sweep passes are scene-dependent extra)
+    occupied_px = occ_frac * N * Hc * Wc
     stages.append(
         stage(
             "ccl_raw_compact", t, ccl_floor,
-            f"occupied-tile fraction {occ_frac:.3f} (scene-dependent)",
+            f"occupied-tile fraction {occ_frac:.3f} (scene-dependent); "
+            "VPU count ±2x",
+            vpu_ops=occupied_px * 30,
         )
     )
     _raw, cbuf, _conv = ccl_outs
@@ -230,20 +292,50 @@ def main():
         return {k: v for k, v in st.items() if k != "labels"}
 
     t, stats_out = timeit(stats_prod, (cbuf, so_dev))
+    # compute floor: root-flag compares (~6 VPU ops per compact px) +
+    # the 6-bit-limb MXU contraction (256-wide rows x C components x
+    # ~10 limb planes of MACs per compact row)
+    C_stats = 32
+    stats_vpu = occupied_slots * 64 * 256 * 6
+    stats_macs = occupied_slots * 64 * 256 * C_stats * 10
     stages.append(
         stage(
             "stats_from_compact", t, occupied_slots * 64 * 256 * 4,
             f"{occupied_slots} occupied 64x256 tiles over the batch "
             "(production shape: dead labels placeholder DCE'd)",
+            vpu_ops=stats_vpu, mxu_macs=stats_macs,
         )
     )
 
     # 5. tracker tail: sequential scan over frames; latency-bound (state
-    # is KB-sized) — no meaningful byte floor
+    # is KB-sized) — no meaningful byte floor. Its compute floor is
+    # MEASURED: a synthetic scan with the same carry leaf shapes, length
+    # and unroll but a trivial body (one add per leaf) bounds what pure
+    # lax.scan sequencing costs on this chip (VERDICT r4 weak #4: the
+    # "near its scan floor" claim previously had no measurement).
     fb = jax.jit(lambda c, s, m, b: _finish_batch(cfg, c, s, m, b, False))
     t, _ = timeit(fb, (carry, stats_out, mask, bg_last))
+
+    leaves = jax.tree_util.tree_leaves(carry.track)
+    st0 = tuple(jnp.zeros(np.shape(l), jnp.float32) for l in leaves)
+    xs_dummy = jnp.zeros((N, 8, 3), jnp.float32)
+
+    @jax.jit
+    def bare_scan(st, xs2):
+        def step(s, x):
+            bump = x[0, 0] + 1.0
+            return tuple(a + bump for a in s), x[0, 0]
+
+        return lax.scan(step, st, xs2, unroll=8)
+
+    t_floor, _ = timeit(bare_scan, (st0, xs_dummy))
     stages.append(
-        stage("tracker_finish", t, None, "sequential lax.scan, unroll=8")
+        stage(
+            "tracker_finish", t, None,
+            "sequential lax.scan, unroll=8; floor = measured bare "
+            "same-shape scan",
+            seq_floor_ms=t_floor * 1e3,
+        )
     )
 
     # end-to-end staged batch (both dispatches chained, one sync)
@@ -262,6 +354,14 @@ def main():
         "shape": [N, H, W],
         "device": str(jax.devices()[0]),
         "peak_hbm_gbps_assumed": PEAK_HBM_GBPS,
+        "peak_vpu_ops_assumed": PEAK_VPU_OPS,
+        "peak_mxu_macs_assumed": PEAK_MXU_MACS,
+        "compute_model": (
+            "per-stage structural VPU-op/MXU-MAC counts (see "
+            "bench/roofline.py comments; ±30% fused/stats, ±2x CCL); "
+            "compute_floor_ms = max(vpu, mxu) time, or the measured "
+            "bare-scan floor for tracker_finish"
+        ),
         "fused_grid": {"TH": TH, "TW": TW, "SH": SH, "SW": SW,
                        "raw_window": [RL, CL], "halo": P,
                        "fullwidth_ring": fullwidth},

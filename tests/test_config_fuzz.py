@@ -38,11 +38,16 @@ from tpuva.graph.pipeline import process_clip
 from tests.test_pipeline_e2e import assert_rows_match
 
 
-def random_config(rng: np.random.Generator, with_blur: bool) -> PipelineConfig:
-    blur = int(rng.choice([3, 5, 7])) if with_blur else 0
+def random_config(rng: np.random.Generator, with_blur: bool,
+                  allow_otsu: bool = False) -> PipelineConfig:
+    # ksize 9 exercises the u8_gaussian_taps error-diffusion path (non-
+    # binomial taps); 3/5/7 the exact binomial cascade
+    blur = int(rng.choice([3, 5, 7, 9])) if with_blur else 0
     median = rng.choice([0, 3])
     mo = rng.choice([0, 3, 5])
     mc = rng.choice([0, 3])
+    thr_pool = [25.0, 40.0] + (["otsu"] if allow_otsu else [])
+    thr = thr_pool[int(rng.integers(len(thr_pool)))]
     return PipelineConfig(
         background=BackgroundConfig(alpha=float(rng.choice([0.0, 0.02, 0.1]))),
         blur=BlurConfig(ksize=blur) if blur else None,
@@ -58,7 +63,7 @@ def random_config(rng: np.random.Generator, with_blur: bool) -> PipelineConfig:
             if mc else None
         ),
         segment=SegmentConfig(
-            threshold=float(rng.choice([25.0, 40.0])),
+            threshold=thr,
             min_area=int(rng.choice([10, 30])),
             max_blobs=6,
         ),
@@ -92,6 +97,62 @@ def test_random_config_bit_exact_without_blur(seed):
     )
     np.testing.assert_array_equal(masks, np.stack(ref.masks))
     assert_rows_match(ref.rows, rows)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_config_single_pass_matches_dense(seed):
+    """Mode-lattice fuzz (VERDICT r4 item 8): random configs — incl.
+    Otsu thresholding and blur ksize up to 9 — through the dense-CCL
+    device path vs the single-pass tiled kernel + record reconcile.
+    Rows must be identical (the single-pass contract is bit-identity
+    with the converged path, whatever the config)."""
+    rng = np.random.default_rng(3000 + seed)
+    cfg = random_config(rng, with_blur=bool(seed % 2), allow_otsu=True)
+    clip, _, _, plate = fuzz_scene(seed)
+    rows_d, _, _ = process_clip(clip, cfg, background0=plate)
+    rows_s, _, _ = process_clip(
+        clip, cfg, background0=plate, ccl_single_pass=True
+    )
+    assert rows_s == rows_d
+
+
+def test_filter_chain_fuzz_batch_equals_frame_path():
+    """T2 filter-chain fuzz: random compositions (crop, blur, median,
+    time-difference, normalize) must produce identical results through
+    the compiled batch path (iter_batches, carries across batch
+    boundaries) and the per-frame random-access path — incl. the
+    stateful FilterTimeDifference carry at every batch size."""
+    from tpuva.filters import (
+        FilterBlur,
+        FilterCrop,
+        FilterMedian,
+        FilterMonochrome,
+        FilterNormalize,
+        FilterTimeDifference,
+    )
+    from tpuva.io import VideoMemory
+
+    base = np.random.default_rng(5).integers(
+        0, 256, (13, 40, 56, 3), np.uint8
+    )
+    for seed in range(6):
+        r = np.random.default_rng(100 + seed)
+        v = FilterMonochrome(VideoMemory(base))
+        if r.random() < 0.5:
+            v = FilterCrop(v, (4, 2, 48, 32))
+        if r.random() < 0.5:
+            v = FilterBlur(v, ksize=int(r.choice([3, 5])))
+        if r.random() < 0.4:
+            v = FilterMedian(v, 3)
+        if r.random() < 0.7:
+            v = FilterTimeDifference(v)
+        if r.random() < 0.5:
+            v = FilterNormalize(v, 0, 255)
+        ref = np.stack([v.get_frame(i) for i in range(v.frame_count)])
+        for B in (3, 4, 8):
+            outs = [s[:n] for n, s in v.iter_batches(B)]
+            got = np.concatenate(outs)
+            np.testing.assert_array_equal(got, ref, err_msg=f"{seed}/{B}")
 
 
 @pytest.mark.parametrize("seed", range(4))

@@ -115,16 +115,32 @@ class FilterBase(VideoBase):
                 first = False
             yield max(0, min(n, out.shape[0])), out
 
+    @cached_property
+    def _jitted_single(self):
+        @jax.jit
+        def run1(frame, carry):
+            out, _ = self._apply(frame, carry)
+            return out
+
+        return run1
+
     def get_frame(self, index: int) -> np.ndarray:
-        root, filters, run = self._jitted_chain
-        for f in filters:
-            if f.sequential_only:
-                raise NotImplementedError(
-                    f"{type(f).__name__} is sequential-only; iterate instead"
-                )
-        frame = root.get_frame(index)
-        carries = tuple(f.init_carry() for f in filters)
-        out, _ = run(jnp.asarray(frame)[None], carries)
+        """Random access: apply THIS filter to source.get_frame(index).
+
+        Recursive per filter — NOT the fused chain program — so a filter
+        with its own random-access semantics (FilterTimeDifference reads
+        two source frames) dispatches its override even when it sits
+        inside a chain. (The fused-chain version silently returned the
+        raw frame for Normalize(TimeDifference(v)).get_frame — caught by
+        tests/test_config_fuzz.py::test_filter_chain_fuzz_*.)"""
+        if self.sequential_only:
+            raise NotImplementedError(
+                f"{type(self).__name__} is sequential-only; iterate instead"
+            )
+        frame = self.source.get_frame(index)
+        out = self._jitted_single(
+            jnp.asarray(frame)[None], self.init_carry()
+        )
         return np.asarray(out[0])
 
     sequential_only = False  # stateful filters set True

@@ -582,6 +582,7 @@ def process_clip(
     return_masks: bool = False,
     max_components: int = 64,
     use_pallas: bool = False,
+    ccl_single_pass: bool = False,
 ):
     """Host convenience driver: run a whole (T, H, W) uint8 clip through
     batched device processing. Returns (rows, final_carry, masks-or-None).
@@ -612,6 +613,7 @@ def process_clip(
                 jnp.asarray(chunk),
                 return_masks=return_masks,
                 max_components=max_components,
+                ccl_single_pass=ccl_single_pass,
             )
         else:
             carry, out = process_batch(
@@ -622,6 +624,7 @@ def process_clip(
                 return_masks=return_masks,
                 max_components=max_components,
                 use_pallas=use_pallas,
+                ccl_single_pass=ccl_single_pass,
             )
         if "stats_overflow" in out:
             ov = np.asarray(out["stats_overflow"][:n])
