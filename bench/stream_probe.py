@@ -79,10 +79,11 @@ def main():
         sync(out["rows"])
         return time.perf_counter() - t0
 
-    def run_async(group):
+    def run_async(group, in_flight=1):
         carry = warm()
         rows = []
-        dr = AsyncRowDrainer(lambda rec, n: rows.append(n), group=group)
+        dr = AsyncRowDrainer(lambda rec, n: rows.append(n), group=group,
+                             max_groups_in_flight=in_flight)
         t0 = time.perf_counter()
         try:
             for b in range(BATCHES):
@@ -106,9 +107,18 @@ def main():
     res["async4"] = round(BATCHES * N / dt, 1)
     dt, st16 = run_async(16)
     res["async16"] = round(BATCHES * N / dt, 1)
+    # round-5 fetch-gap probe (VERDICT r4 next #6): deeper in-flight
+    # window — does letting the producer run 2 groups ahead of the
+    # fetch close the streamed/device gap, or does the tunnel pin it?
+    dt, st4b = run_async(4, in_flight=2)
+    res["async4x2"] = round(BATCHES * N / dt, 1)
+    dt, st8b = run_async(8, in_flight=2)
+    res["async8x2"] = round(BATCHES * N / dt, 1)
     print("fps:", res)
     print("async4 stats:", {k: round(v, 2) for k, v in st4.items()})
     print("async16 stats:", {k: round(v, 2) for k, v in st16.items()})
+    print("async4x2 stats:", {k: round(v, 2) for k, v in st4b.items()})
+    print("async8x2 stats:", {k: round(v, 2) for k, v in st8b.items()})
 
 
 if __name__ == "__main__":
