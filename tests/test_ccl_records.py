@@ -15,8 +15,10 @@ closure -> limb-sum merge). These tests pin:
   fragments below);
 - poison-proofing: with debug_poison=True any reconcile read of a
   never-written compact region leaks 0x5A5A5A5A into the merge;
-- strict capacity: > max_row_pairs distinct pairs on one boundary row
-  reports reconcile_overflow > 0 instead of silently dropping unions.
+- strict capacity: root-table truncation (n_roots > max_components)
+  reports reconcile_overflow > 0 instead of silently dropping unions;
+  the boundary-pair streams themselves are capacity-unbounded (round-5
+  chunked adjacency build — dense comb/arm scenes reconcile exactly).
 
 Reference behavior: cv2.connectedComponentsWithStats semantics as pinned
 by SURVEY.md §2.2/§8 (the multi-pass path is golden-tested against cv2 in
@@ -214,10 +216,10 @@ def test_recurring_pair_runs_no_overflow():
 
 
 def test_distinct_pairs_at_capacity_no_overflow():
-    # dense-but-LEGAL: 15 distinct (arm_key, anchor_key) pairs witnessed
-    # on one 256-px boundary row — at (not past) the max_row_pairs=16
-    # budget. Must reconcile exactly with overflow 0 (the strict contract
-    # may only raise past documented capacity).
+    # 15 distinct (arm_key, anchor_key) pairs witnessed on one 256-px
+    # boundary row (the round-4 design's near-capacity case; pair
+    # streams are now capacity-unbounded). Must reconcile exactly with
+    # overflow 0.
     H, W = 128, 256
     m = np.zeros((1, H, W), np.uint8)
     m[0, 0:71, 0] = 255  # anchor arm: smallest key, crosses at x=0
@@ -229,16 +231,15 @@ def test_distinct_pairs_at_capacity_no_overflow():
     assert int(np.asarray(s1["count"])[0]) == 1
 
 
-def test_reconcile_overflow_reported():
-    # > max_row_pairs DISTINCT back-propagation pairs in ONE 256-px
-    # boundary row: 20 arms above the tile boundary (distinct fragment
-    # keys), joined only by a bar below it that adopts the x=0 anchor
-    # arm's smaller key via the pass-1 halo — every arm crossing then
-    # witnesses a distinct (arm_key, anchor_key) pair, and the strict
-    # contract must flag the frame instead of silently dropping unions.
-    # (Simple vertical dominoes would NOT overflow: keys increase in
-    # raster order, so pass 1 forward-propagates them and their boundary
-    # pairs are dropped self-pairs.)
+def test_many_distinct_pairs_reconciled_exactly():
+    # 20 DISTINCT back-propagation pairs in ONE 256-px boundary row: 20
+    # arms above the tile boundary (distinct fragment keys), joined only
+    # by a bar below it that adopts the x=0 anchor arm's smaller key via
+    # the pass-1 halo — every arm crossing witnesses a distinct
+    # (arm_key, anchor_key) pair. The round-4 design capped distinct
+    # pairs per row at 16 and flagged this scene; the round-5 chunked
+    # full-stream adjacency has no per-row capacity, so it must
+    # reconcile EXACTLY with overflow 0.
     H, W = 128, 256
     m = np.zeros((1, H, W), np.uint8)
     m[0, 0:71, 0] = 255  # anchor arm: smallest key, crosses at x=0
@@ -246,11 +247,26 @@ def test_reconcile_overflow_reported():
         x = 8 + 12 * k
         m[0, 60:71, x] = 255  # arms above+below the boundary
     m[0, 70, :] = 255  # bar in the lower tile joins everything
-    s1, _ = run_compact(m, H, W, single_pass=True, compact_slots=24)
+    s1, s0 = both(m, H, W)
+    assert int(np.asarray(s1["count"])[0]) == 1
+
+
+def test_root_table_truncation_overflow_reported():
+    # the remaining strict-capacity condition: more roots than the
+    # root-table width C. Isolated dots produce one root each; with
+    # max_components=8 and 20 dots the table truncates, boundary pairs
+    # (none here, so force some with a straddling bar scene) — the
+    # per-frame reconcile_overflow must be > 0 instead of silently
+    # merging into a wrong table.
+    H, W = 128, 256
+    m = np.zeros((1, H, W), np.uint8)
+    for k in range(20):
+        m[0, 10 + (k % 3) * 20, 5 + 12 * k] = 255  # 20 isolated roots
+    m[0, 60:71, 40] = 255  # one straddling arm: a real boundary pair
+    m[0, 70, 30:60] = 255
+    s1, _ = run_compact(m, H, W, single_pass=True, compact_slots=24,
+                        max_components=8)
     assert int(np.asarray(s1["reconcile_overflow"])[0]) > 0
-    # the multi-pass path handles the same scene fine (sanity)
-    s0, conv = run_compact(m, H, W, single_pass=False)
-    assert conv and int(np.asarray(s0["count"])[0]) == 1
 
 
 def test_pipeline_staged_single_pass_rows_match():

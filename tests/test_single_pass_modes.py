@@ -147,8 +147,14 @@ def test_streaming_staged_forced_single_pass():
 
 
 def _over_capacity_clip(frames=8):
-    # streamed twin of test_ccl_records.test_reconcile_overflow_reported:
-    # 20 distinct back-propagation pairs on one 256-px boundary row
+    # streamed twin of test_ccl_records'
+    # test_root_table_truncation_overflow_reported: 20 distinct roots +
+    # a straddling arm, run with max_components=8 so the reconcile's
+    # root table truncates — the remaining strict-capacity condition
+    # (the boundary-pair streams themselves are capacity-unbounded
+    # since the round-5 chunked adjacency build; the 20-arm comb scene
+    # now reconciles exactly and is an equality test in
+    # test_ccl_records)
     H, W = 128, 256
     m = np.zeros((H, W), np.uint8)
     m[0:71, 0] = 255
@@ -164,12 +170,16 @@ def test_streaming_single_pass_strict_raises_past_capacity():
 
     clip, plate = _over_capacity_clip()
     cfg = CFG
-    sp = StreamingPipeline(cfg, ccl_single_pass=True, strict=True)
+    sp = StreamingPipeline(
+        cfg, ccl_single_pass=True, strict=True, max_components=8
+    )
     with pytest.raises(RuntimeError, match="capacity overflow"):
         sp.run(VideoMemory(clip), background0=plate)
     # non-strict: warn (from the drainer thread — warnings module state
     # is process-global), count, complete
-    sp2 = StreamingPipeline(cfg, ccl_single_pass=True, strict=False)
+    sp2 = StreamingPipeline(
+        cfg, ccl_single_pass=True, strict=False, max_components=8
+    )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         sp2.run(VideoMemory(clip), background0=plate)

@@ -662,9 +662,9 @@ class StreamingPipeline:
                     f"{int(ov.max())} dropped): areas/centroids are "
                     "inexact for those frames — raise compact_slots "
                     f"(={self.compact_slots}) / sparse_strips "
-                    f"(={self.sparse_strips}), or (single-pass CCL) the "
-                    "scene exceeds the reconcile's per-row distinct-pair "
-                    "capacity (see _fragment_closure)"
+                    f"(={self.sparse_strips}), or (single-pass CCL) "
+                    "max_components: the scene has more roots than the "
+                    "reconcile's table (see _fragment_closure)"
                 )
                 if self.strict:
                     raise RuntimeError(msg)

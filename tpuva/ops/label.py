@@ -1104,8 +1104,7 @@ def labels_from_raw(
 
 
 def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
-                      gh: int, gw: int, table, n_roots, sent: int,
-                      max_row_pairs: int = 16):
+                      gh: int, gw: int, table, n_roots, sent: int):
     """Cross-tile root-key closure for single-pass CCL (gen 8).
 
     After label_components_tiled_raw(single_pass=True), every tile is at
@@ -1132,45 +1131,38 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
         crossings are some other slot's BR/BL).
     Self-pairs (a == b) are dropped: in-tile adjacency always yields
     equal keys at a fixed point, so intra-tile sub-block boundaries
-    contribute nothing and capacity is spent on real merges only.
+    contribute nothing.
 
-    Capacity is strict, never silent: per boundary row, up to
-    `max_row_pairs` DISTINCT V pairs are kept (the compaction loop
-    dedupes by (a, b) pair value, so recurring contact intervals of the
-    same pair — and the same pair echoed across dx streams — consume ONE
-    slot); run heads still unmatched after the distinct picks are
-    counted in the returned overflow, so overflow == 0 whenever a row
-    has <= max_row_pairs distinct pairs and can only over-report past
-    that (never silently drop a union). Likewise pairs whose key is
-    missing from the (capacity-truncated) root table. Callers surface
-    overflow > 0 under the pipeline's strict contract.
+    There is NO per-row pair capacity: the full boundary streams feed a
+    chunked one-hot MXU contraction, so every witnessed pair sets its
+    adjacency bit (duplicates just re-set it). The only strict-overflow
+    conditions left are root-table truncation (n_roots > C) and pairs
+    whose key is missing from that truncated table — both counted in
+    the returned overflow, both impossible when the table held every
+    root. (Round 4 shipped a run-head compaction with a 16-distinct-
+    pairs-per-row cap; the round-5 on-chip decomposition made it moot —
+    see below.)
 
-    Sizing: max_row_pairs=16 distinct cross-fragment merges witnessed
-    along ONE 256-px boundary row (each row has its own budget; H and
-    corner streams are uncapped). A distinct pair needs two distinct
-    fragment keys meeting at that row, so 16 supports >= 16 distinct
-    blobs stacked against a single tile edge — 2x the tracker's
-    max_blobs=8 contract (BASELINE.json:9) and far past any benchmarked
-    scene; genuinely denser rows raise via the strict contract rather
-    than degrade.
-
-    TPU shape of the extraction + closure (measured: the first cut used
-    lax.sort for per-row distinct pairs and frame-level dedup plus an
-    iterated relax/pointer-jump — 62 ms/batch-256 on-chip, 8x the
-    frontier passes it replaced; sorts on (N, T, 3TW) streams were the
-    bulk). Sort-free version:
-      * per-row pair compaction exploits that equal (a, b) pairs form
-        contiguous lane runs PER CONTACT INTERVAL within a dx stream
-        (tiles are uniformly labeled per fragment at a local fixed
-        point) — the same pair can recur across disjoint intervals and
-        across dx streams, so a roll-compare marks run heads and
-        `max_row_pairs` tiny argmax gathers pick them, each pick
-        erasing every same-pair head so capacity counts DISTINCT pairs
-        — no sort;
-      * no frame-level dedup at all: pair keys map to root-table indices
-        (small broadcast compare) and ONE bf16 one-hot MXU contraction
-        builds the (N, C, C) boolean adjacency matrix — duplicate pairs
-        just re-set a bit;
+    TPU shape, measured on v5e (bench/recon_probe.py, recon_probe2.py
+    @1080p batch 256): the first cut used lax.sort (62 ms); the second
+    used take_along_axis slot gathers + a 16-step distinct-pair
+    compaction loop — 60 ms, of which the GATHERS were 51 ms (TPU
+    gathers run far off memory speed-of-light; the loop itself was only
+    8 ms). This version:
+      * neighbor-slot rows are selected by tiny one-hot einsums
+        (slot-index compare -> (N, T, T) selection matrix -> MXU row
+        pick). Exactness needs care: a default-precision f32 matmul
+        truncates operands to bf16 on TPU (measured on-chip: scan keys
+        corrupted; CPU CI is exact and can never catch it), so payloads
+        ride as bf16-exact 6-bit limbs recombined in int32 — the
+        _limb_contract discipline. sent + 2 < 2^24 is asserted so the
+        int32 recombination covers every key. No gathers anywhere.
+      * pair keys map to root-table indices by broadcast compare inside
+        a lax.scan over fixed-size chunks of the flat pair stream; one
+        bf16 one-hot MXU contraction per chunk accumulates the
+        (N, C, C) adjacency counts (exact in f32: counts <= P << 2^24).
+        Chunking bounds the materialized one-hots (CLAUDE.md: one-hot
+        einsum operands are materialized) at ~CH x C per frame.
       * closure = transitive closure of that tiny matrix by
         ceil(log2(C)) boolean matmul squarings (paths up to 2^k covered
         after k squarings; with the diagonal seeded, >= C suffices), so
@@ -1183,34 +1175,67 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     C = table.shape[1]
     G = gh * gw
     INF = jnp.int32(2**30)
+    assert sent + 2 < 2**24, "scan keys must stay f32-exact for one-hot selection"
 
     def valid_key(v):
         return (v >= 0) & (v < jnp.int32(sent))
 
     gi = tile_id // gw
     gj = tile_id % gw
+    iota_g = jnp.arange(G, dtype=jnp.int32)
+    iota_t = jnp.arange(T, dtype=jnp.int32)
+
+    # One-hot MXU selections must NOT ride values as plain f32: a
+    # default-precision f32 matmul truncates its operands to bf16 on TPU
+    # (measured on-chip: 1080p scan keys corrupted, 0.5% of rows wrong —
+    # CPU CI is exact and cannot catch this class). Payloads therefore
+    # ride as bf16-exact 6-bit limbs and recombine in int32 — the same
+    # discipline as _limb_contract.
+    def limb_pick(vals, onehot, spec, nl):
+        # einsum(spec, onehot, limb) per 6-bit limb; onehot is 0/1
+        # (bf16-exact), limbs are 0..63 (bf16-exact), accumulation f32
+        # (sums of at most one nonzero term: exact)
+        oh = onehot.astype(jnp.bfloat16)
+        acc = None
+        for l in range(nl):
+            limb = ((vals >> (6 * l)) & 63).astype(jnp.bfloat16)
+            g = jnp.einsum(
+                spec, oh, limb, preferred_element_type=jnp.float32
+            ).astype(jnp.int32) << (6 * l)
+            acc = g if acc is None else acc + g
+        return acc
+
+    # enough limbs for cum_t (<= G) and for shifted keys (< sent + 3)
+    NL_G = max(1, -(-int(G).bit_length() // 6))
+    NL_K = max(1, -(-int(sent + 3).bit_length() // 6))
 
     def nb_slot(di, dj):
         ii, jj = gi + di, gj + dj
         ok = (ii >= 0) & (ii < gh) & (jj >= 0) & (jj < gw) & slot_valid
         ng = jnp.clip(ii * gw + jj, 0, G - 1)
-        occ = jnp.take_along_axis(occ_t, ng, axis=1)
-        ns = jnp.take_along_axis(cum_t, ng, axis=1) - 1
+        og = ng[:, :, None] == iota_g[None, None, :]  # (N, T, G)
+        occ = limb_pick(
+            occ_t.astype(jnp.int32), og, "ntg,ng->nt", 1
+        ) > 0
+        ns = limb_pick(cum_t, og, "ntg,ng->nt", NL_G) - 1
         ok = ok & occ & (ns < T)
         return jnp.where(ok, ns, 0), ok
 
-    def slot_rows(x, ns, ok):
-        # gather (N, T, L) rows of x at slot indices ns, INF when invalid
-        got = jnp.take_along_axis(
-            x, jnp.broadcast_to(ns[:, :, None], x.shape), axis=1
-        )
+    def slot_sel(ns, ok):
+        # (N, T, T) 0/1 selection: row t picks source slot ns[t]
+        return (ns[:, :, None] == iota_t[None, None, :]) & ok[:, :, None]
+
+    def pick_rows(x, sel, ok):
+        # keys shifted +1 so the masked -1 entries decompose cleanly
+        got = limb_pick(x + 1, sel, "nts,nsw->ntw", NL_K) - 1
         return jnp.where(ok[:, :, None], got, INF)
 
     # --- V pairs: bottom row vs below top row, 3 dx streams ---
     bot = rows3[:, :, CR - 1, :]
     top = rows3[:, :, 0, :]
     nsb, okb = nb_slot(1, 0)
-    mtop = slot_rows(top, nsb, okb)
+    selb = slot_sel(nsb, okb)
+    mtop = pick_rows(top, selb, okb)
     lane = jnp.arange(TW, dtype=jnp.int32)
     streams = []
     for dx in (-1, 0, 1):
@@ -1220,50 +1245,15 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     mv = jnp.concatenate(streams, axis=2)  # (N, T, 3*TW)
     av = jnp.tile(bot, (1, 1, 3))
     okv = valid_key(av) & valid_key(mv) & (av != mv)
-    pa_v = jnp.where(okv, av, INF)
-    pb_v = jnp.where(okv, mv, INF)
-    # distinct-pair compaction, capped at max_row_pairs (a per-root MIN
-    # would be wrong: root a adjacent to fragments b AND c along one row
-    # needs BOTH edges or the closure misses a~c). Equal pairs form
-    # contiguous lane runs per contact interval, so a roll-compare marks
-    # run heads; each pick then ERASES every remaining head carrying the
-    # same (a, b) pair — recurring intervals and cross-dx echoes of one
-    # pair cost one slot, so capacity (and the overflow count) tracks
-    # DISTINCT pairs, not run count (advisor r4: head counting inflated
-    # overflow and tripped strict mode on legal comb-contact scenes).
-    lane3 = jnp.arange(3 * TW, dtype=jnp.int32)
-    first3 = (lane3 % TW == 0)[None, None, :]
-    head = okv & (
-        first3
-        | (pa_v != jnp.roll(pa_v, 1, axis=2))
-        | (pb_v != jnp.roll(pb_v, 1, axis=2))
-    )
-    remaining = head
-    pas, pbs = [], []
-    for k in range(max_row_pairs):
-        posk = jnp.argmax(remaining, axis=2).astype(jnp.int32)[:, :, None]
-        okk = jnp.take_along_axis(remaining, posk, axis=2)
-        pak = jnp.take_along_axis(pa_v, posk, axis=2)
-        pbk = jnp.take_along_axis(pb_v, posk, axis=2)
-        pas.append(jnp.where(okk, pak, INF))
-        pbs.append(jnp.where(okk, pbk, INF))
-        remaining = remaining & ~(okk & (pa_v == pak) & (pb_v == pbk))
-    # heads still unpicked after max_row_pairs distinct picks: at >16
-    # distinct pairs this over-reports (leftover duplicates also count)
-    # but is exactly 0 at or under capacity — the strict contract's
-    # requirement
-    v_over = jnp.sum(
-        jnp.sum(remaining, axis=2, dtype=jnp.int32), axis=1,
-        dtype=jnp.int32,
-    )
-    pa_v2 = jnp.concatenate(pas, axis=2).reshape(N, -1)
-    pb_v2 = jnp.concatenate(pbs, axis=2).reshape(N, -1)
+    pa_v = jnp.where(okv, av, INF).reshape(N, -1)
+    pb_v = jnp.where(okv, mv, INF).reshape(N, -1)
 
     # --- H pairs: right col vs right-slot left col, 3 dy streams ---
     rcol = rows3[:, :, :, TW - 1]
     lcol = rows3[:, :, :, 0]
     nsr, okr = nb_slot(0, 1)
-    mlc = slot_rows(lcol, nsr, okr)
+    selr = slot_sel(nsr, okr)
+    mlc = pick_rows(lcol, selr, okr)
     rr = jnp.arange(CR, dtype=jnp.int32)
     hstreams = []
     for dy in (-1, 0, 1):
@@ -1279,8 +1269,10 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     # --- corner pairs: BR and BL single-pixel diagonals ---
     def corner(dj, a_col, b_col):
         nsd, okd = nb_slot(1, dj)
+        seld = slot_sel(nsd, okd)
         a = rows3[:, :, CR - 1, a_col]
-        bvals = jnp.take_along_axis(rows3[:, :, 0, b_col], nsd, axis=1)
+        bsrc = rows3[:, :, 0, b_col]
+        bvals = limb_pick(bsrc + 1, seld, "nts,ns->nt", NL_K) - 1
         bvals = jnp.where(okd, bvals, INF)
         okc = valid_key(a) & valid_key(bvals) & (a != bvals)
         return jnp.where(okc, a, INF), jnp.where(okc, bvals, INF)
@@ -1288,30 +1280,45 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     pa_br, pb_br = corner(1, TW - 1, 0)
     pa_bl, pb_bl = corner(-1, 0, TW - 1)
 
-    pa = jnp.concatenate([pa_v2, pa_h, pa_br, pa_bl], axis=1)
-    pb = jnp.concatenate([pb_v2, pb_h, pb_br, pb_bl], axis=1)
+    pa = jnp.concatenate([pa_v, pa_h, pa_br, pa_bl], axis=1)
+    pb = jnp.concatenate([pb_v, pb_h, pb_br, pb_bl], axis=1)
 
-    # --- map keys to root-table indices ---
-    eqa = pa[:, :, None] == table[:, None, :]
-    eqb = pb[:, :, None] == table[:, None, :]
-    fnda = jnp.any(eqa, axis=2)
-    fndb = jnp.any(eqb, axis=2)
-    has_pair = pa < INF
-    found = fnda & fndb
-    # keys absent from the table only happen when the table itself
-    # truncated (n_roots > C) — counted below via root_over; still count
-    # the dropped pairs so the condition is visible even per-frame
-    missing = jnp.sum(has_pair & ~found, axis=1, dtype=jnp.int32)
+    # --- adjacency counts + missing-key census, chunked over pairs ---
+    P = pa.shape[1]
+    CH = min(8192, -(-P // 128) * 128)
+    Pp = -(-P // CH) * CH
+    pa = jnp.pad(pa, ((0, 0), (0, Pp - P)), constant_values=2**30)
+    pb = jnp.pad(pb, ((0, 0), (0, Pp - P)), constant_values=2**30)
+    pa = pa.reshape(N, Pp // CH, CH)
+    pb = pb.reshape(N, Pp // CH, CH)
 
-    # --- adjacency matrix + closure by boolean matmul squaring ---
-    # one-hots are 0/1 (bf16-exact); f32 accumulation bounds every count
-    # by the pair capacity P << 2^24, so the contraction is exact
-    pv = (has_pair & found)[:, :, None]
-    oha = (eqa & pv).astype(jnp.bfloat16)
-    ohb = (eqb & pv).astype(jnp.bfloat16)
-    adj = jnp.einsum(
-        "npi,npj->nij", oha, ohb, preferred_element_type=jnp.float32
+    def chunk(carry, k):
+        adj, miss = carry
+        ca = lax.dynamic_index_in_dim(pa, k, axis=1, keepdims=False)
+        cb = lax.dynamic_index_in_dim(pb, k, axis=1, keepdims=False)
+        eqa = ca[:, :, None] == table[:, None, :]
+        eqb = cb[:, :, None] == table[:, None, :]
+        adj = adj + jnp.einsum(
+            "npi,npj->nij",
+            eqa.astype(jnp.bfloat16),
+            eqb.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        # keys absent from the table only happen when the table itself
+        # truncated (n_roots > C) — counted via root_over too; still
+        # count the dropped pairs so the condition is per-frame visible
+        hp = ca < INF
+        found_k = jnp.any(eqa, axis=2) & jnp.any(eqb, axis=2)
+        miss = miss + jnp.sum(hp & ~found_k, axis=1, dtype=jnp.int32)
+        return (adj, miss), 0
+
+    (adj, missing), _ = lax.scan(
+        chunk,
+        (jnp.zeros((N, C, C), jnp.float32), jnp.zeros((N,), jnp.int32)),
+        jnp.arange(Pp // CH),
     )
+
+    # --- closure by boolean matmul squaring ---
     eye = jnp.eye(C, dtype=jnp.float32)[None]
     A = ((adj + jnp.swapaxes(adj, 1, 2) + eye) > 0).astype(jnp.bfloat16)
     for _ in range(max(1, int(np.ceil(np.log2(max(C, 2)))))):
@@ -1329,7 +1336,7 @@ def _fragment_closure(rows3, slot_valid, tile_id, cum_t, occ_t,
     fk = jnp.minimum(fk, table)
 
     root_over = jnp.maximum(n_roots - C, 0)
-    overflow = v_over + missing + root_over
+    overflow = missing + root_over
     return fk, overflow
 
 
