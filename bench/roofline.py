@@ -143,7 +143,13 @@ def main():
     cfg = build_config()
     H, W = 1080, 1920
     N = cfg.batch
-    clip, plate = make_clip(H, W, N * 2)
+    cache = "/tmp/tpuva_sp_bench_clip.npz"  # shared with bench/sp_probe
+    if os.path.exists(cache):
+        z = np.load(cache)
+        clip, plate = z["clip"], z["plate"]
+    else:
+        clip, plate = make_clip(H, W, N * 2)
+        np.savez(cache, clip=clip, plate=plate)
     carry = init_carry(cfg, H, W, plate)
     frames = jnp.asarray(clip[N : 2 * N])
 
