@@ -114,6 +114,10 @@ def main():
     res["async4x2"] = round(BATCHES * N / dt, 1)
     dt, st8b = run_async(8, in_flight=2)
     res["async8x2"] = round(BATCHES * N / dt, 1)
+    dt, _st32 = run_async(32)
+    res["async32"] = round(BATCHES * N / dt, 1)
+    dt, _st16b = run_async(16)
+    res["async16_rep"] = round(BATCHES * N / dt, 1)
     print("fps:", res)
     print("async4 stats:", {k: round(v, 2) for k, v in st4.items()})
     print("async16 stats:", {k: round(v, 2) for k, v in st16.items()})

@@ -470,7 +470,10 @@ class MultiStreamPipeline:
         # grouped async collection off-thread (AsyncRowDrainer): ~1 device
         # round trip per group of steps, overlapped with mesh dispatch
         drainer = AsyncRowDrainer(
-            consume, group=max(1, 512 // cfg.batch), max_groups_in_flight=1
+            # 2048-frame drain groups per stream step — see
+            # StreamingPipeline.run (bench/stream_probe.py round 5)
+            consume, group=max(2, 2048 // cfg.batch),
+            max_groups_in_flight=1,
         )
         steps = 0
         last_n = cfg.batch

@@ -590,7 +590,15 @@ class StreamingPipeline:
         # grouped async collection off-thread: ~1 device round trip per
         # `group` batches, fully overlapped with dispatch (AsyncRowDrainer)
         drainer = AsyncRowDrainer(
-            consume, group=max(1, 512 // cfg.batch), max_groups_in_flight=1
+            # ~2048 frames per drain group: at 6k+ fps device throughput
+            # each group fetch is a device sync point through the tunnel
+            # (~28 ms RTT), and 512-frame groups measurably halve
+            # streamed fps (bench/stream_probe.py round 5: group=4 ->
+            # 2.8-3.3k fps vs group=16 -> 4.7-5.6k at batch 128; 32
+            # regresses again as end-of-run drains lengthen). Matches
+            # the soak driver's grouping.
+            consume, group=max(2, 2048 // cfg.batch),
+            max_groups_in_flight=1,
         )
         batches_done = 0
         last_n = cfg.batch
