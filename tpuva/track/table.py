@@ -87,14 +87,21 @@ def track_update(
 
     def compact(still, pos, tid, missed):
         """Permute survivors down to slots [0, n_still) preserving order
-        (the reference's list compaction). 0/1 one-hot contraction — the
-        f32 matmul sums exactly one term per output row, so positions move
-        bit-exactly; freed slots come out as pos=0/tid=0/missed=0, which
-        re-establishes the free-slot part of the layout invariant."""
+        (the reference's list compaction). Masked one-term sums — each
+        output row sums exactly one selected source (0 + x == x in f32),
+        so positions move bit-exactly; freed slots come out as
+        pos=0/tid=0/missed=0, which re-establishes the free-slot part of
+        the layout invariant. NOT a f32 matmul: on TPU a default-
+        precision f32 matmul truncates operands to bf16 (CLAUDE.md
+        invariant; positions are not bf16-exact), and this path only
+        runs on death frames, which no on-chip scene exercises — a
+        silent association hazard the masked sum removes."""
         s32 = still.astype(jnp.int32)
         srank = jnp.cumsum(s32) - s32  # (T,) 0-based target of survivors
         om = still[None, :] & (srank[None, :] == ti[:, None])  # (new, old)
-        pos_c = om.astype(jnp.float32) @ pos
+        pos_c = jnp.sum(
+            jnp.where(om[:, :, None], pos[None, :, :], 0.0), axis=1
+        )
         tid_c = jnp.sum(jnp.where(om, tid[None, :], 0), axis=1)
         missed_c = jnp.sum(jnp.where(om, missed[None, :], 0), axis=1)
         return pos_c, tid_c.astype(jnp.int32), missed_c.astype(jnp.int32)
