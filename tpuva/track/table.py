@@ -125,7 +125,13 @@ def track_update(
         # ---- matched updates (eq2[t, j] == slot t matched detection j)
         eq2 = (slot_for_det[None, :] == ti[:, None]) & det_matched[None, :]
         slot_matched = jnp.any(eq2, axis=1)
-        matched_pos = eq2.astype(jnp.float32) @ dets[:, :2]
+        # one-term masked sum, NOT a f32 matmul: detection coordinates
+        # are not bf16-exact and the TPU MXU truncates default-precision
+        # f32 operands to bf16 (CLAUDE.md invariant) — the carried
+        # prediction must be the exact detection position
+        matched_pos = jnp.sum(
+            jnp.where(eq2[:, :, None], dets[None, :, :2], 0.0), axis=1
+        )
         pos = jnp.where(slot_matched[:, None], matched_pos, state.pos)
         missed = jnp.where(
             slot_matched,
@@ -164,9 +170,10 @@ def track_update(
 
         bo = (slot_for_birth[None, :] == ti[:, None]) & can_birth[None, :]
         has_b = jnp.any(bo, axis=1)
-        pos = jnp.where(
-            has_b[:, None], bo.astype(jnp.float32) @ dets[:, :2], pos
-        )
+        birth_pos = jnp.sum(
+            jnp.where(bo[:, :, None], dets[None, :, :2], 0.0), axis=1
+        )  # masked sum, not f32 matmul (see matched_pos)
+        pos = jnp.where(has_b[:, None], birth_pos, pos)
         tid = jnp.where(
             has_b,
             jnp.sum(jnp.where(bo, new_tid_for_det[None, :], 0), axis=1),
