@@ -9,10 +9,15 @@ inside the scan over the frame axis so tracker state never leaves the chip
 Layout invariant (perf): the table mirrors the reference's LIST directly —
 active tracks occupy exactly slots [0, n_active) in ascending-id
 (= insertion) order; free slots hold pos=0, tid=0, missed=0. Deaths
-compact the survivors down (paid only on death frames via lax.cond — the
-common frame skips it entirely) and births append at the end, so the
+compact the survivors down and births append at the end, so the
 per-frame rank/sort/permute that an arbitrary-slot table would need to
 recover the reference's cost-row order disappears from the hot scan body.
+The compaction runs UNCONDITIONALLY (straightline=True default): it is
+the bit-exact identity on no-death frames under the invariant, and the
+lax.cond that used to skip it costs more per-step control sequencing
+than the masked sums it saves (measured both ways, bench/track_exp.py:
+5.34 vs 5.99 ms/batch-256 on the bench-like sequence, neutral on a
+death-churn sequence; straightline=False restores the cond).
 init_track_state establishes the invariant; track_update preserves it.
 (The TrackState slot layout is internal: checkpoints store it wholesale
 and restore it wholesale, so the invariant survives kill+resume, but
@@ -66,6 +71,7 @@ def track_update(
     max_dist: float,
     death_patience: int,
     assigner: str = "greedy",
+    straightline: bool = True,
 ):
     """One tracker step. Returns (new_state, rows (D, 5) float32,
     row_valid (D,) bool). Row = (track_id, frame, x, y, area).
@@ -150,12 +156,20 @@ def track_update(
         # skip the permutation entirely
         still = state.active & (missed < death_patience)
         n_still = jnp.sum(still.astype(jnp.int32))
-        pos, tid, missed = lax.cond(
-            n_still < n_active,
-            lambda a: compact(still, *a),
-            lambda a: a,
-            (pos, state.tid, missed),
-        )
+        if straightline:
+            # compact is the identity on no-death frames under the
+            # layout invariant (srank == slot for every survivor and
+            # free slots are already zeroed), so running it
+            # unconditionally is bit-equal — the cond's per-step control
+            # sequencing is what it saves (measured: bench/track_exp.py)
+            pos, tid, missed = compact(still, pos, state.tid, missed)
+        else:
+            pos, tid, missed = lax.cond(
+                n_still < n_active,
+                lambda a: compact(still, *a),
+                lambda a: a,
+                (pos, state.tid, missed),
+            )
 
         # ---- births: the r-th birthable detection appends at slot
         # n_still + r - 1 (ids are monotone, so appending preserves the
@@ -201,12 +215,15 @@ def track_update(
         still = state.active & (missed < death_patience)
         n_active = jnp.sum(state.active.astype(jnp.int32))
         n_still = jnp.sum(still.astype(jnp.int32))
-        pos, tid, missed = lax.cond(
-            n_still < n_active,
-            lambda a: compact(still, *a),
-            lambda a: a,
-            (state.pos, state.tid, missed),
-        )
+        if straightline:
+            pos, tid, missed = compact(still, state.pos, state.tid, missed)
+        else:
+            pos, tid, missed = lax.cond(
+                n_still < n_active,
+                lambda a: compact(still, *a),
+                lambda a: a,
+                (state.pos, state.tid, missed),
+            )
         # free slots already hold missed=0: compaction zeroes them in the
         # death branch, the standing invariant covers the no-death branch
         new_state = TrackState(
@@ -232,3 +249,14 @@ def track_update(
         axis=-1,
     )
     return new_state, rows, row_valid
+
+
+def track_update_straightline(state, dets, det_valid, frame_idx,
+                              max_dist, death_patience,
+                              assigner: str = "greedy"):
+    """track_update with the death-compaction cond replaced by an
+    unconditional (bit-equal) compact — see the straightline flag."""
+    return track_update(
+        state, dets, det_valid, frame_idx, max_dist, death_patience,
+        assigner=assigner, straightline=True,
+    )
