@@ -235,9 +235,16 @@ def track_update(
         )
         return new_state, jnp.zeros((D,), jnp.int32), jnp.zeros((D,), bool)
 
-    new_state, row_tid, row_valid = jax.lax.cond(
-        jnp.any(det_valid), update_with_dets, update_no_dets, state
-    )
+    if straightline:
+        # an all-invalid frame degenerates update_with_dets to exactly
+        # update_no_dets's transition (cost all-BIG takes the assigner's
+        # trivial fast path, no matches, no births, rows invalid), so
+        # the empty-frame cond is also pure control overhead
+        new_state, row_tid, row_valid = update_with_dets(state)
+    else:
+        new_state, row_tid, row_valid = jax.lax.cond(
+            jnp.any(det_valid), update_with_dets, update_no_dets, state
+        )
     rows = jnp.stack(
         [
             row_tid.astype(jnp.float32),
